@@ -1,0 +1,341 @@
+"""Typed configuration tree.
+
+The reference scatters configuration over star-imported module globals
+(main_code/utils/config.py), argparse flags (model_utils.py:476-506), run.sh
+defaults, and hardcoded literals in the engine (model_utils.py:556-558).
+Here everything is one explicit dataclass tree; the per-head defaults below
+carry the reference's exact hyperparameter values (config.py:16-78) so a run
+configured with the defaults reproduces the reference's training behavior.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence, Tuple
+
+# ---------------------------------------------------------------------------
+# Core constants (reference: config.py:13, arcface.py:25)
+# ---------------------------------------------------------------------------
+
+FEATURE_DIM = 512
+FACENET_EMBED_DIM = 128
+CASIA_NUM_CLASSES = 10575
+IMAGE_SIZE = 112
+
+# Verification benchmarks driven by evaluate_models.py:69-71 in the reference.
+EVAL_BENCHMARKS = ("agedb_30", "cfp_fp", "lfw", "calfw", "cplfw")
+
+
+def _field(default):
+    if isinstance(default, (list, dict, set)):
+        return dataclasses.field(default_factory=lambda: default)
+    return default
+
+
+# ---------------------------------------------------------------------------
+# Head configs — one dataclass per margin method.
+# Default values are parity-critical (reference config.py:16-78, SURVEY §2.4).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class HeadConfig:
+    """Base for all margin-head configs."""
+
+    name: str = "base"
+    feature_dim: int = FEATURE_DIM
+    num_classes: int = CASIA_NUM_CLASSES
+
+
+@dataclasses.dataclass(frozen=True)
+class SphereFaceConfig(HeadConfig):
+    """A-Softmax with annealing (reference criterion.py:12-107)."""
+
+    name: str = "sphereface"
+    m: int = 2              # config.py:17 (head default in reference is 4)
+    base: float = 1000.0
+    gamma: float = 0.12
+    power: float = 1.0
+    lambda_min: float = 5.0
+
+
+@dataclasses.dataclass(frozen=True)
+class CosFaceConfig(HeadConfig):
+    """Additive cosine margin (reference criterion.py:137-197)."""
+
+    name: str = "cosface"
+    m: float = 0.35         # config.py:21
+    s: float = 64.0         # config.py:22
+    eps: float = 1e-4       # criterion.py:147
+
+
+@dataclasses.dataclass(frozen=True)
+class ArcFaceConfig(HeadConfig):
+    """Additive angular margin (reference criterion.py:232-301)."""
+
+    name: str = "arcface"
+    m: float = 0.5          # config.py:25
+    s: float = 64.0         # config.py:26
+    easy_margin: bool = False  # criterion.py:313
+
+
+@dataclasses.dataclass(frozen=True)
+class MVSoftmaxConfig(HeadConfig):
+    """Mis-classified Vector guided softmax (reference criterion.py:327-461)."""
+
+    name: str = "mv_softmax"
+    m: float = 0.35         # config.py:29
+    mv_weight: float = 1.12  # config.py:30
+    s: float = 32.0         # config.py:31
+    margin_type: str = "am"  # config.py:32 ('am' or 'arc')
+    eps: float = 1e-7       # criterion.py:413
+
+
+@dataclasses.dataclass(frozen=True)
+class CurricularFaceConfig(HeadConfig):
+    """Curriculum hard-negative scaling with EMA difficulty
+    (reference criterion.py:491-587)."""
+
+    name: str = "curricularface"
+    m: float = 0.5          # config.py:35
+    s: float = 64.0         # config.py:36
+    momentum: float = 0.01  # config.py:37
+
+
+@dataclasses.dataclass(frozen=True)
+class VPLArcFaceConfig(HeadConfig):
+    """ArcFace over virtual-prototype memory blend (reference criterion.py:619-762)."""
+
+    name: str = "vpl_arcface"
+    s: float = 64.0         # config.py:40
+    m: float = 0.5          # config.py:41
+    easy_margin: bool = False  # config.py:42
+    lamda: float = 0.15     # config.py:43
+    delta: int = 100        # config.py:44
+    eps: float = 1e-7       # criterion.py:733
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaFaceConfig(HeadConfig):
+    """Norm-adaptive margin with EMA of batch norm stats
+    (reference criterion.py:795-918)."""
+
+    name: str = "adaface"
+    m: float = 0.4          # config.py:48
+    h: float = 0.333        # config.py:49
+    s: float = 64.0         # config.py:47
+    t_alpha: float = 0.99   # config.py:50 — NOTE reference blends
+    # batch_mean*t_alpha + (1-t_alpha)*ema (criterion.py:881-882), i.e. the
+    # EMA is weighted toward the CURRENT batch; replicated for parity.
+    eps: float = 1e-3       # criterion.py:828
+
+
+@dataclasses.dataclass(frozen=True)
+class ElasticArcFaceConfig(HeadConfig):
+    """Per-sample Gaussian angular margin (reference criterion.py:1054-1154)."""
+
+    name: str = "elastic_arcface"
+    s: float = 64.0         # config.py:53
+    m: float = 0.5          # config.py:54
+    std: float = 0.0125     # config.py:55
+    plus: bool = False      # config.py:56
+    eps: float = 1e-7       # criterion.py:1104
+
+
+@dataclasses.dataclass(frozen=True)
+class ElasticCosFaceConfig(HeadConfig):
+    """Per-sample Gaussian cosine margin (reference criterion.py:951-1030)."""
+
+    name: str = "elastic_cosface"
+    s: float = 64.0         # config.py:59
+    m: float = 0.35         # config.py:60
+    std: float = 0.0125     # config.py:61
+    plus: bool = False      # config.py:62
+    eps: float = 1e-7       # criterion.py:994
+
+
+@dataclasses.dataclass(frozen=True)
+class MagFaceConfig(HeadConfig):
+    """Magnitude-adaptive margin + magnitude regularizer
+    (reference criterion.py:1178-1301)."""
+
+    name: str = "magface"
+    s: float = 64.0         # config.py:65
+    easy_margin: bool = False  # config.py:66
+    l_margin: float = 0.45  # config.py:67
+    u_margin: float = 0.8   # config.py:68
+    l_a: float = 10.0       # config.py:69
+    u_a: float = 110.0      # config.py:70
+    eps: float = 1e-7       # criterion.py:1260
+
+
+@dataclasses.dataclass(frozen=True)
+class QAFaceConfig(HeadConfig):
+    """Quality-aware head with injection memory (reference criterion.py:1331-1520).
+
+    The reference's QAFaceNet has broken dual-input plumbing (its generic
+    train loop passes labels into the `minput` slot, criterion.py:1543-1552);
+    here the head takes an explicit (feats, minput_feats, labels) triple and
+    the training pipeline provides a degraded view as minput.
+    """
+
+    name: str = "qaface"
+    s: float = 64.0         # config.py:73
+    m: float = 0.5          # config.py:74
+    easy_margin: bool = False  # config.py:75
+    delta: int = 1000       # config.py:76
+    tto: float = 2.0        # config.py:77
+    alpha: float = 0.99     # config.py:78
+    eps: float = 1e-7       # criterion.py:1492
+
+
+HEAD_CONFIGS = {
+    "sphereface": SphereFaceConfig,
+    "cosface": CosFaceConfig,
+    "arcface": ArcFaceConfig,
+    "mv_softmax": MVSoftmaxConfig,
+    "curricularface": CurricularFaceConfig,
+    "vpl_arcface": VPLArcFaceConfig,
+    "adaface": AdaFaceConfig,
+    "elastic_arcface": ElasticArcFaceConfig,
+    "elastic_cosface": ElasticCosFaceConfig,
+    "magface": MagFaceConfig,
+    "qaface": QAFaceConfig,
+}
+
+
+def make_head_config(name: str, **overrides) -> HeadConfig:
+    key = name.lower()
+    if key not in HEAD_CONFIGS:
+        raise ValueError(
+            f"Unknown head '{name}'. Available: {sorted(HEAD_CONFIGS)}")
+    return HEAD_CONFIGS[key](**overrides)
+
+
+# ---------------------------------------------------------------------------
+# Mesh / parallelism
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout.
+
+    `data` is the batch (data-parallel) axis; `model` shards the classifier's
+    class dimension — the TPU-native generalization of the reference's
+    dormant `device_id` class-chunking (criterion.py:67-79 etc.).
+    """
+
+    data: int = -1   # -1: use all devices on the data axis
+    model: int = 1
+    axis_names: Tuple[str, str] = ("data", "model")
+
+
+# ---------------------------------------------------------------------------
+# Optimizer / schedule (reference model_utils.py:556-558, schedulers.py)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    name: str = "sgd"
+    learning_rate: float = 0.1     # run.sh default; argparse default too
+    momentum: float = 0.9          # model_utils.py:557
+    weight_decay: float = 5e-4     # model_utils.py:557
+    nesterov: bool = False
+    # adam-family knobs
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
+
+
+@dataclasses.dataclass(frozen=True)
+class ScheduleConfig:
+    name: str = "customstep"       # model_utils.py:558
+    # CustomStepLR semantics (schedulers.py:3-16, 22): multiply LR by `ratio`
+    # at each epoch in `steps`.
+    steps: Tuple[int, ...] = (20, 40, 60)
+    ratio: float = 0.1
+    # step / multistep / cosine knobs
+    step_size: int = 30
+    gamma: float = 0.1
+    milestones: Tuple[int, ...] = (40, 80, 100, 150)
+    eta_min: float = 0.0
+    warmup_epochs: int = 5
+
+
+# ---------------------------------------------------------------------------
+# Data
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset_path: str = ""
+    # Train images are pre-aligned 112x112 RGB; normalize with
+    # mean=std=(0.5,0.5,0.5) and no train-time augmentation
+    # (reference model_utils.py:539-547).
+    image_size: int = IMAGE_SIZE
+    mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
+    horizontal_flip: bool = False
+    num_workers: int = 8
+    drop_remainder: bool = True
+    shuffle_seed: int = 0
+
+
+# ---------------------------------------------------------------------------
+# Train / eval
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    backbone: str = "resnet18"     # config.py:11
+    head: str = "arcface"
+    num_classes: int = CASIA_NUM_CLASSES
+    batch_size: int = 512          # model_utils.py:478
+    epochs: int = 30               # model_utils.py:479
+    lambda_g: float = 0.0          # config.py:14 / argparse
+    print_freq: int = 100
+    # bf16 compute, fp32 params/head-math. TPU bf16 needs no GradScaler
+    # (the reference's torch.amp GradScaler has no TPU equivalent).
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "float32"
+    seed: int = 0
+    working_path: str = ""
+    model_name: str = ""
+    continue_train: Optional[str] = None  # None | 'latest' | 'min_loss'
+    keep_checkpoints: int = 3      # rotation keep-3 (model_utils.py:72-78)
+    use_pallas_head: bool = False  # fused Pallas margin kernel (TPU only)
+    optimizer: OptimizerConfig = OptimizerConfig()
+    schedule: ScheduleConfig = ScheduleConfig()
+    mesh: MeshConfig = MeshConfig()
+    data: DataConfig = DataConfig()
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    batch_size: int = 64           # model_utils.py:416 default
+    k_fold: int = 10               # model_utils.py:438
+    kfold_seed: int = 42           # StratifiedKFold(random_state=42)
+    benchmarks: Tuple[str, ...] = EVAL_BENCHMARKS
+    eval_data_path: str = ""
+
+
+# ---------------------------------------------------------------------------
+# FaceNet triplet subproject (reference FaceNet/)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class FaceNetConfig:
+    embed_dim: int = FACENET_EMBED_DIM  # FaceNet/main.py:16
+    backbone: str = "resnet50"
+    margin: float = 0.2                  # FaceNet/utils/criterions.py:6
+    p: int = 16                          # identities per batch (PK sampling)
+    k: int = 4                           # images per identity
+    learning_rate: float = 0.05
+    momentum: float = 0.9
+    weight_decay: float = 5e-4

@@ -1,0 +1,35 @@
+"""Backbone factory.
+
+Reference: main_code/utils/backbones.py:11-31 — resnet18/resnet50/
+efficientnet_b0/mobilenet_v2 with the final classifier replaced by a
+FEATURE_DIM embedding layer. ImageNet-pretrained initialization is not
+available in this environment (zero egress); `utils/torch_port.py` can import
+torchvision state_dicts when the user has them on disk.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from face_recognition_models_tpu.models.efficientnet import efficientnet_b0
+from face_recognition_models_tpu.models.mobilenet import mobilenet_v2
+from face_recognition_models_tpu.models.resnet import resnet18, resnet50
+
+BACKBONES = {
+    "resnet18": resnet18,
+    "resnet50": resnet50,
+    "efficientnet_b0": efficientnet_b0,
+    "mobilenet_v2": mobilenet_v2,
+}
+
+
+def get_backbone(name: str = "resnet18", embed_dim: int = 512,
+                 dtype: Any = jnp.bfloat16):
+    """Build a backbone module producing [N, embed_dim] embeddings."""
+    key = name.lower()
+    if key not in BACKBONES:
+        raise ValueError(
+            f"Unsupported backbone: {name}. Available: {sorted(BACKBONES)}")
+    return BACKBONES[key](embed_dim=embed_dim, dtype=dtype)

@@ -1,0 +1,136 @@
+"""ResNet-18 / ResNet-50 embedding backbones in Flax (NHWC, bf16-friendly).
+
+Equivalent capability to the reference's torchvision backbones with the final
+classifier swapped for a FEATURE_DIM embedding layer
+(reference: main_code/utils/backbones.py:11-18). The architecture follows the
+standard torchvision ResNet v1.5 graph (stride on the 3x3 conv in
+bottlenecks) so that torchvision checkpoints can be ported with
+`utils/torch_port.py`, but the implementation is TPU-native: NHWC layout,
+XLA-fused conv+BN+ReLU, bf16 compute with fp32 batch-norm statistics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    """3x3 -> 3x3 residual block (ResNet-18/34)."""
+
+    filters: int
+    stride: int = 1
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), strides=(1, 1),
+                      padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1),
+                                 strides=(self.stride, self.stride),
+                                 name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3(stride) -> 1x1 bottleneck (ResNet-50; torchvision v1.5)."""
+
+    filters: int
+    stride: int = 1
+    expansion: int = 4
+    conv: ModuleDef = nn.Conv
+    norm: ModuleDef = nn.BatchNorm
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (1, 1), name="conv1")(x)
+        y = self.norm(name="bn1")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                      padding=[(1, 1), (1, 1)], name="conv2")(y)
+        y = self.norm(name="bn2")(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * self.expansion, (1, 1), name="conv3")(y)
+        y = self.norm(name="bn3")(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * self.expansion, (1, 1),
+                                 strides=(self.stride, self.stride),
+                                 name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNet(nn.Module):
+    """ResNet trunk -> global average pool -> Dense(embed_dim)."""
+
+    stage_sizes: Sequence[int]
+    block: Callable[..., nn.Module]
+    embed_dim: int = 512
+    num_filters: int = 64
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if x.ndim != 4 or x.shape[-1] != 3:
+            raise ValueError(
+                f"Expected NHWC input [N, H, W, 3], got {x.shape}. "
+                "(PyTorch-style NCHW must be transposed.)")
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        # BatchNorm statistics and affine math in fp32 for stability; the
+        # surrounding convs run in bf16 on the MXU.
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                       param_dtype=jnp.float32)
+
+        x = x.astype(self.dtype)
+        x = conv(self.num_filters, (7, 7), strides=(2, 2),
+                 padding=[(3, 3), (3, 3)], name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x).astype(self.dtype)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        for i, num_blocks in enumerate(self.stage_sizes):
+            for j in range(num_blocks):
+                stride = 2 if i > 0 and j == 0 else 1
+                x = self.block(filters=self.num_filters * 2 ** i,
+                               stride=stride, conv=conv, norm=norm,
+                               dtype=self.dtype,
+                               name=f"layer{i + 1}_{j}")(x)
+                x = x.astype(self.dtype)
+
+        x = jnp.mean(x, axis=(1, 2))  # global average pool -> [N, C]
+        x = nn.Dense(self.embed_dim, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="fc")(x)
+        return x
+
+
+def resnet18(embed_dim: int = 512, dtype: Any = jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock,
+                  embed_dim=embed_dim, dtype=dtype)
+
+
+def resnet50(embed_dim: int = 512, dtype: Any = jnp.bfloat16) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck,
+                  embed_dim=embed_dim, dtype=dtype)
