@@ -332,7 +332,8 @@ def _vpl_arcface_apply(cfg: cfg_lib.VPLArcFaceConfig, kernel, feats, labels,
 
     active = (new_life > 0).astype(_F32)[None, :]       # [1, C]
     mem_n = l2_normalize(new_mem, axis=1)
-    cos_mem = jnp.dot(xn, mem_n.T, preferred_element_type=_F32)
+    cos_mem = jnp.dot(xn, mem_n.T, preferred_element_type=_F32,
+                      precision=jax.lax.Precision.HIGHEST)
 
     lam = cfg.lamda
     # Non-target: blend toward memory cosine; target: blend toward 1.0
@@ -591,7 +592,8 @@ def _qaface_apply(cfg: cfg_lib.QAFaceConfig, kernel, feats, labels,
 
     active = (new_life > 0).astype(_F32)[None, :]
     mem_n = l2_normalize(new_mem, axis=1)
-    cos_mem = jnp.dot(xn, mem_n.T, preferred_element_type=_F32)
+    cos_mem = jnp.dot(xn, mem_n.T, preferred_element_type=_F32,
+                      precision=jax.lax.Precision.HIGHEST)
     # Non-target: full memory replacement where active (:1476)
     cosine1 = (1.0 - active) * cos_w + active * cos_mem
     # Target: cosine against (class weight + injection) (:1479-1482)

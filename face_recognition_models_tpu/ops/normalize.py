@@ -8,6 +8,7 @@ with fp32 accumulation.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 # torch.nn.functional.normalize default eps
@@ -40,5 +41,10 @@ def cosine_logits(feats: jnp.ndarray, kernel: jnp.ndarray):
     kernel = kernel.astype(jnp.float32)
     xn = l2_normalize(feats, axis=1)
     wn = l2_normalize(kernel, axis=0)
-    cos = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
+    # Precision.HIGHEST: TPU fp32 matmul otherwise decomposes to single-pass
+    # bf16 (~7e-2 abs error) — far too coarse for the acos-based margin math
+    # downstream. This matmul is ~1% of step FLOPs, so full precision is
+    # cheap; the backbone stays bf16 on the MXU.
+    cos = jnp.dot(xn, wn, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.HIGHEST)
     return cos, xn, feature_norms(feats)
