@@ -105,10 +105,14 @@ def _class_mean_update(values: jnp.ndarray, labels: jnp.ndarray,
     Returns (new_mem [C, D], new_life [C], any_valid scalar bool).
     """
     num_classes = mem.shape[0]
-    safe = jnp.where(valid, labels, 0)
-    v = valid.astype(_F32)
-    counts = jnp.zeros((num_classes,), _F32).at[safe].add(v)
-    sums = jnp.zeros(mem.shape, _F32).at[safe].add(values * v[:, None])
+    # One-hot matmul instead of scatter-add: [C,N]x[N,D] runs on the MXU and
+    # shards cleanly (batch-sharded one-hot x features -> class-sharded
+    # sums via an XLA-inserted psum over 'data'). one_hot(-1) is a zero row,
+    # which also implements the labels!=-1 filter.
+    oh = jax.nn.one_hot(labels, num_classes, dtype=_F32)       # [N, C]
+    counts = jnp.sum(oh, axis=0)                                # [C]
+    sums = jnp.dot(oh.T, values, preferred_element_type=_F32,
+                   precision=jax.lax.Precision.HIGHEST)         # [C, D]
     seen = counts > 0
     new_mem = jnp.where(seen[:, None],
                         sums / jnp.maximum(counts, 1.0)[:, None], mem)

@@ -1,0 +1,107 @@
+"""The jitted train/eval steps.
+
+Equivalent of the reference's hot loop body (model_utils.py:168-214):
+forward through backbone + margin head, CE(post-margin logits) +
+lambda_g * loss_g, backward, SGD step — but as one pure function compiled by
+XLA, bf16 backbone compute, with the LR schedule inside the step and
+cross-replica semantics handled by GSPMD (batch means / EMA statistics are
+global-batch automatically under pjit DP sharding).
+
+No GradScaler: TPU bf16 keeps fp32 exponent range, so the reference's AMP
+loss-scaling machinery (model_utils.py:21-28, 184-187) has no equivalent and
+is intentionally absent.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from face_recognition_models_tpu.train.losses import mean_cross_entropy
+from face_recognition_models_tpu.train.metrics import topk_accuracy
+from face_recognition_models_tpu.train.state import TrainState
+
+
+def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
+                    lambda_g: float = 0.0,
+                    lr_schedule: Optional[Callable] = None,
+                    has_dropout: bool = False) -> Callable:
+    """Build the jittable train step.
+
+    Returns step(state, images, labels, minput_images=None)
+      -> (new_state, metrics dict).
+    """
+
+    def train_step(state: TrainState, images, labels, minput_images=None):
+        rng, head_rng, dropout_rng = jax.random.split(state.rng, 3)
+
+        def loss_fn(params):
+            model_vars = {"params": params["backbone"],
+                          "batch_stats": state.batch_stats}
+            rngs = {"dropout": dropout_rng} if has_dropout else None
+            feats, mutated = backbone.apply(
+                model_vars, images, train=True, mutable=["batch_stats"],
+                rngs=rngs)
+            feats = feats.astype(jnp.float32)
+
+            minput_feats = None
+            if minput_images is not None:
+                minput_feats, _ = backbone.apply(
+                    model_vars, minput_images, train=True,
+                    mutable=["batch_stats"], rngs=rngs)
+                minput_feats = minput_feats.astype(jnp.float32)
+
+            out = head.apply(head_cfg, params["kernel_w"], feats, labels,
+                             state.head_state, rng=head_rng,
+                             minput=minput_feats)
+            # CE on post-margin logits (model_utils.py:179)
+            loss_id = mean_cross_entropy(out.logits, labels)
+            loss = loss_id + lambda_g * out.loss_g
+            return loss, (out, mutated["batch_stats"], loss_id)
+
+        (loss, (out, new_batch_stats, loss_id)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        acc1, acc5 = topk_accuracy(out.pre_logits, labels, topk=(1, 5))
+        lr = (lr_schedule(state.step) if lr_schedule is not None
+              else jnp.float32(0.0))
+        metrics = {
+            "loss": loss,
+            "loss_id": loss_id,
+            "loss_mag": lambda_g * out.loss_g,
+            "acc1": acc1,
+            "acc5": acc5,
+            "lr": lr,
+            "feat_norm": jnp.mean(out.norms),
+        }
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_batch_stats,
+            head_state=out.state,
+            opt_state=new_opt_state,
+            rng=rng,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(backbone) -> Callable:
+    """Embedding extraction step: images -> [N, D] raw embeddings
+    (the reference *Net wrappers' eval branch, e.g. criterion.py:229-230)."""
+
+    def eval_step(params, batch_stats, images):
+        variables = {"params": params, "batch_stats": batch_stats}
+        feats = backbone.apply(variables, images, train=False)
+        return feats.astype(jnp.float32)
+
+    return eval_step

@@ -1,0 +1,192 @@
+"""Train-step integration: loss decreases, state updates, LR schedule parity,
+and the pjit path on an 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.heads import get_head
+from face_recognition_models_tpu.models.resnet import BasicBlock, ResNet
+from face_recognition_models_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    train_state_shardings,
+)
+from face_recognition_models_tpu.train import (
+    TrainState,
+    get_optimizer,
+    get_schedule,
+    make_train_step,
+)
+
+D, C, B = 32, 12, 24
+IMG = 32
+
+
+def _tiny_backbone():
+    return ResNet(stage_sizes=(1, 1), block=BasicBlock, embed_dim=D,
+                  num_filters=8, dtype=jnp.float32)
+
+
+def _synthetic_batch(rng, b=B):
+    """Identity-structured images: class k has a distinct mean image."""
+    k1, k2 = jax.random.split(rng)
+    labels = jax.random.randint(k1, (b,), 0, C)
+    protos = jax.random.normal(k2, (C, IMG, IMG, 3))
+    images = protos[labels] + 0.1 * jax.random.normal(k1, (b, IMG, IMG, 3))
+    return images, labels
+
+
+def _init(head_name="arcface", lr=0.1, **head_kw):
+    head_cfg = cfg_lib.make_head_config(head_name, feature_dim=D,
+                                        num_classes=C, **head_kw)
+    head = get_head(head_name)
+    backbone = _tiny_backbone()
+    rng = jax.random.PRNGKey(0)
+    variables = backbone.init(rng, jnp.zeros((1, IMG, IMG, 3)), train=False)
+    kernel = head.init_kernel(rng, head_cfg)
+    params = {"backbone": variables["params"], "kernel_w": kernel}
+    tx = get_optimizer("sgd", lr, momentum=0.9, weight_decay=5e-4)
+    state = TrainState(step=jnp.int32(0), params=params,
+                       batch_stats=variables.get("batch_stats", {}),
+                       head_state=head.init_state(head_cfg),
+                       opt_state=tx.init(params), rng=jax.random.PRNGKey(1))
+    return backbone, head, head_cfg, tx, state
+
+
+@pytest.mark.parametrize("head_name", ["arcface", "cosface", "magface",
+                                       "curricularface", "adaface",
+                                       "elastic_arcface", "vpl_arcface",
+                                       "qaface", "sphereface", "mv_softmax"])
+def test_loss_decreases(head_name):
+    backbone, head, head_cfg, tx, state = _init(head_name, lr=0.05)
+    lambda_g = 0.1 if head_name == "magface" else 0.0
+    step = jax.jit(make_train_step(backbone, head, head_cfg, tx,
+                                   lambda_g=lambda_g))
+    images, labels = _synthetic_batch(jax.random.PRNGKey(2))
+    losses = []
+    for _ in range(15):
+        state, metrics = step(state, images, labels)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 15
+
+
+def test_metrics_contract():
+    backbone, head, head_cfg, tx, state = _init("arcface")
+    sched = get_schedule(cfg_lib.ScheduleConfig(), 0.1, steps_per_epoch=10)
+    step = jax.jit(make_train_step(backbone, head, head_cfg, tx,
+                                   lr_schedule=sched))
+    images, labels = _synthetic_batch(jax.random.PRNGKey(2))
+    state, metrics = step(state, images, labels)
+    for key in ["loss", "loss_id", "loss_mag", "acc1", "acc5", "lr",
+                "feat_norm"]:
+        assert key in metrics
+        assert np.isfinite(float(metrics[key]))
+    assert 0.0 <= float(metrics["acc1"]) <= 100.0
+    assert float(metrics["acc5"]) >= float(metrics["acc1"])
+    assert float(metrics["lr"]) == pytest.approx(0.1)
+
+
+def test_customstep_schedule_parity():
+    """lr(epoch e, 1-based) = lr0 * 0.1^|{s in {20,40,60}: s <= e-1}|."""
+    spe = 7
+    sched = get_schedule(cfg_lib.ScheduleConfig(), 0.1, steps_per_epoch=spe)
+    def lr_at_epoch(e):  # 1-based epoch -> lr used during that epoch
+        return float(sched((e - 1) * spe))
+    assert lr_at_epoch(1) == pytest.approx(0.1)
+    assert lr_at_epoch(20) == pytest.approx(0.1)
+    assert lr_at_epoch(21) == pytest.approx(0.01)
+    assert lr_at_epoch(40) == pytest.approx(0.01)
+    assert lr_at_epoch(41) == pytest.approx(0.001)
+    assert lr_at_epoch(61) == pytest.approx(1e-4)
+    assert lr_at_epoch(100) == pytest.approx(1e-4)
+
+
+def test_sgd_matches_torch_semantics():
+    """optax chain == torch SGD(momentum, weight_decay) update order."""
+    import torch
+
+    w0 = np.random.RandomState(0).randn(4, 3).astype(np.float32)
+    g = np.random.RandomState(1).randn(4, 3).astype(np.float32)
+
+    p_t = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = torch.optim.SGD([p_t], lr=0.1, momentum=0.9, weight_decay=5e-4)
+    for _ in range(3):
+        opt.zero_grad()
+        p_t.grad = torch.tensor(g.copy())
+        opt.step()
+
+    tx = get_optimizer("sgd", 0.1, momentum=0.9, weight_decay=5e-4)
+    params = {"w": jnp.asarray(w0)}
+    opt_state = tx.init(params)
+    for _ in range(3):
+        updates, opt_state = tx.update({"w": jnp.asarray(g)}, opt_state,
+                                       params)
+        params = {"w": params["w"] + updates["w"]}
+
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               p_t.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_train_step_on_8_device_mesh():
+    """pjit DP over 'data' + class-sharded kernel over 'model'."""
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    mesh = make_mesh(cfg_lib.MeshConfig(data=4, model=2))
+    backbone, head, head_cfg, tx, state = _init("vpl_arcface")
+
+    state_shardings = train_state_shardings(mesh, state, num_classes=C)
+    # kernel sharded over classes; memory sharded over classes
+    kspec = state_shardings.params["kernel_w"].spec
+    assert kspec == jax.sharding.PartitionSpec(None, "model")
+    mspec = state_shardings.head_state.mem.spec
+    assert mspec == jax.sharding.PartitionSpec("model", None)
+
+    data_s = batch_sharding(mesh)
+    state = jax.device_put(state, state_shardings)
+    step = jax.jit(make_train_step(backbone, head, head_cfg, tx),
+                   in_shardings=(state_shardings, data_s, data_s),
+                   out_shardings=(state_shardings, None),
+                   donate_argnums=(0,))
+
+    images, labels = _synthetic_batch(jax.random.PRNGKey(2))
+    images = jax.device_put(images, data_s)
+    labels = jax.device_put(labels, data_s)
+    prev = None
+    for _ in range(3):
+        state, metrics = step(state, images, labels)
+        assert np.isfinite(float(metrics["loss"]))
+        if prev is not None:
+            assert float(metrics["loss"]) != prev
+        prev = float(metrics["loss"])
+    # sharded run must agree with single-device run numerically
+    backbone2, head2, head_cfg2, tx2, state2 = _init("vpl_arcface")
+    step2 = jax.jit(make_train_step(backbone2, head2, head_cfg2, tx2))
+    for _ in range(3):
+        state2, metrics2 = step2(state2, images, labels)
+    np.testing.assert_allclose(prev, float(metrics2["loss"]), rtol=1e-4)
+
+
+def test_global_batch_ema_under_dp():
+    """AdaFace EMA must use the GLOBAL batch mean under DP sharding."""
+    mesh = make_mesh(cfg_lib.MeshConfig(data=8, model=1))
+    backbone, head, head_cfg, tx, state = _init("adaface")
+    state_shardings = train_state_shardings(mesh, state, num_classes=C)
+    data_s = batch_sharding(mesh)
+    state = jax.device_put(state, state_shardings)
+    step = jax.jit(make_train_step(backbone, head, head_cfg, tx),
+                   in_shardings=(state_shardings, data_s, data_s),
+                   out_shardings=(state_shardings, None))
+    images, labels = _synthetic_batch(jax.random.PRNGKey(2))
+    state_out, _ = step(state, jax.device_put(images, data_s),
+                        jax.device_put(labels, data_s))
+
+    backbone2, head2, head_cfg2, tx2, state2 = _init("adaface")
+    step2 = jax.jit(make_train_step(backbone2, head2, head_cfg2, tx2))
+    state2_out, _ = step2(state2, images, labels)
+    np.testing.assert_allclose(
+        float(state_out.head_state.batch_mean[0]),
+        float(state2_out.head_state.batch_mean[0]), rtol=1e-5)
