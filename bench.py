@@ -1,0 +1,55 @@
+"""Headline benchmark: ResNet-50 embedding-extraction throughput (bf16).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is measured images/sec/chip divided by the 5,000 img/s/chip
+target (BASELINE.json). Runs on the default backend (the real TPU chip
+under the driver).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.train.step import make_eval_step
+
+    batch = 512
+    model = get_backbone("resnet50")
+    rng = jax.random.PRNGKey(0)
+    variables = model.init(rng, jnp.zeros((1, 112, 112, 3), jnp.float32),
+                           train=False)
+    eval_step = jax.jit(make_eval_step(model))
+
+    images = jax.random.randint(rng, (batch, 112, 112, 3), 0, 256,
+                                jnp.uint8)
+    params, stats = variables["params"], variables.get("batch_stats", {})
+
+    # warmup / compile
+    out = eval_step(params, stats, images)
+    out.block_until_ready()
+
+    # timed: enough iterations to amortize dispatch
+    iters = 30
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = eval_step(params, stats, images)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    ips = batch * iters / dt
+    n_chips = max(1, jax.device_count())
+    ips_per_chip = ips / n_chips
+    print(json.dumps({
+        "metric": "resnet50_embedding_images_per_sec_per_chip",
+        "value": round(ips_per_chip, 1),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(ips_per_chip / 5000.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

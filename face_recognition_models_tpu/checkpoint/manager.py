@@ -1,0 +1,138 @@
+"""Checkpointing with the reference's rotation/best/resume semantics, on orbax.
+
+Reference behavior replicated (model_utils.py:43-138, 569-581):
+- rotating epoch checkpoints, keep the 3 latest (`:72-78`);
+- a separate best-by-min-TRAIN-loss checkpoint (`:79-81`, `:572-575`);
+- resume 'latest' picks the highest epoch (`:104-109`);
+- resume 'min_loss' DELETES all epoch checkpoints first (min_loss may be
+  older than the newest epoch, `:112-121`) then loads the best;
+- a fresh (non-resume) run wipes the checkpoint dir (`:532-534`);
+- returns (start_epoch = saved epoch + 1, train_loss) (`:133-136`).
+
+The saved payload is the full TrainState pytree (params, batch stats, head
+state incl. EMA/memories/counters, optimizer state, PRNG key, step) plus
+epoch and train_loss — everything needed for bit-exact resume.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import shutil
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+_EPOCH_RE = re.compile(r"^epoch_(\d+)$")
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, model_name: str = "model",
+                 keep: int = 3):
+        self.directory = os.path.abspath(directory)
+        self.model_name = model_name
+        self.keep = keep
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------
+    def _epoch_dir(self, epoch: int) -> str:
+        return os.path.join(self.directory, f"epoch_{epoch}")
+
+    @property
+    def _best_dir(self) -> str:
+        return os.path.join(self.directory, "min_loss")
+
+    def _list_epochs(self):
+        if not os.path.isdir(self.directory):
+            return []
+        out = []
+        for name in os.listdir(self.directory):
+            m = _EPOCH_RE.match(name)
+            if m and os.path.isdir(os.path.join(self.directory, name)):
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    # ------------------------------------------------------------------
+    def reset(self):
+        """Fresh-run wipe (model_utils.py:532-534)."""
+        if os.path.isdir(self.directory):
+            shutil.rmtree(self.directory)
+        os.makedirs(self.directory, exist_ok=True)
+
+    def _payload(self, state: Any, epoch: int, train_loss: float):
+        import jax.numpy as jnp
+        # float32 for the loss: x64 is disabled by default and inf must
+        # round-trip, which float32 handles.
+        return {"state": state,
+                "epoch": jnp.asarray(epoch, jnp.int32),
+                "train_loss": jnp.asarray(train_loss, jnp.float32)}
+
+    def save(self, state: Any, epoch: int, train_loss: float,
+             is_best: bool = False):
+        """Save an epoch checkpoint (rotating keep-N) or the best snapshot."""
+        os.makedirs(self.directory, exist_ok=True)
+        target = self._best_dir if is_best else self._epoch_dir(epoch)
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        self._ckptr.save(target, self._payload(state, epoch, train_loss))
+        self._ckptr.wait_until_finished()
+        if not is_best:
+            epochs = self._list_epochs()
+            while len(epochs) > self.keep:
+                shutil.rmtree(self._epoch_dir(epochs.pop(0)))
+
+    # ------------------------------------------------------------------
+    def restore(self, abstract_state: Any, mode: str = "latest"
+                ) -> Tuple[Any, int, float]:
+        """Load per resume semantics. Returns (state, start_epoch, loss);
+        (None, 1, inf) when nothing to restore.
+
+        abstract_state: a pytree of ShapeDtypeStruct (or a concrete state)
+        matching what was saved.
+        """
+        if mode not in ("latest", "min_loss"):
+            raise ValueError("mode must be 'latest' or 'min_loss'")
+        if not os.path.isdir(self.directory):
+            return None, 1, float("inf")
+
+        if mode == "min_loss":
+            # min_loss may predate newer epoch checkpoints: delete them
+            # (model_utils.py:112-117).
+            for e in self._list_epochs():
+                shutil.rmtree(self._epoch_dir(e))
+            target = self._best_dir if os.path.isdir(self._best_dir) else None
+        else:
+            epochs = self._list_epochs()
+            target = self._epoch_dir(epochs[-1]) if epochs else None
+
+        if target is None:
+            return None, 1, float("inf")
+
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, abstract_state)
+        payload = self._ckptr.restore(
+            target, self._payload(abstract, 0, 0.0))
+        epoch = int(payload["epoch"])
+        loss = float(payload["train_loss"])
+        return payload["state"], epoch + 1, loss
+
+    def save_final(self, state: Any, filename: Optional[str] = None):
+        """Final params-only save (model_utils.py:581)."""
+        target = os.path.join(self.directory,
+                              filename or f"{self.model_name}_final")
+        if os.path.isdir(target):
+            shutil.rmtree(target)
+        self._ckptr.save(target, state)
+        self._ckptr.wait_until_finished()
+
+    def restore_final(self, abstract_state: Any,
+                      filename: Optional[str] = None):
+        target = os.path.join(self.directory,
+                              filename or f"{self.model_name}_final")
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, abstract_state)
+        return self._ckptr.restore(target, abstract)

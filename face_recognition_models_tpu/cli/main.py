@@ -1,0 +1,238 @@
+"""Single CLI entry point: `face <subcommand>`.
+
+Collapses the reference's per-model entry scripts (main_code/arcface.py,
+cosface.py, ... + run.sh) into `face train --head <name>`, its
+evaluate_models.py into `face eval`, and preprocess.py into
+`face preprocess`. Flag names/defaults mirror the reference's argparse
+(model_utils.py:476-506) where they exist.
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import os
+import sys
+import time
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.heads.base import available_heads
+
+
+def _add_train_parser(sub):
+    p = sub.add_parser("train", help="train a margin-head model")
+    p.add_argument("--head", default="arcface", choices=available_heads()
+                   + ["mv_softmax_arc"],
+                   help="margin head (mv_softmax_arc = MV with arc margin)")
+    p.add_argument("--backbone", "-bb", default="resnet18",
+                   choices=["resnet18", "resnet50", "efficientnet_b0",
+                            "mobilenet_v2"])
+    p.add_argument("--batch_size", "-bs", type=int, default=512)
+    p.add_argument("--epochs", "-e", type=int, default=30)
+    p.add_argument("--learning_rate", "-lr", type=float, default=0.1)
+    p.add_argument("--lambda_g", type=float, default=0.0,
+                   help="Magnitude loss weight (MagFace)")
+    p.add_argument("--print_freq", type=int, default=100)
+    p.add_argument("--continue_train", choices=["min_loss", "latest"],
+                   help="resume from best or latest checkpoint")
+    p.add_argument("--dataset-path", default=os.environ.get("DATASET_PATH", ""))
+    p.add_argument("--working-path", default=os.environ.get("WORKING_PATH",
+                                                            "./working"))
+    p.add_argument("--model-save-path", default=None,
+                   help="checkpoint dir (default <working>/checkpoints/<name>)")
+    p.add_argument("--wandb-project", default="face-recognition-training")
+    p.add_argument("--num-classes", type=int,
+                   default=cfg_lib.CASIA_NUM_CLASSES)
+    p.add_argument("--mesh-data", type=int, default=-1)
+    p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on a synthetic identity set (smoke runs)")
+    p.add_argument("--synthetic-classes", type=int, default=64)
+    p.add_argument("--synthetic-per-class", type=int, default=32)
+    p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
+    return p
+
+
+def cmd_train(args) -> int:
+    import numpy as np
+
+    head = args.head
+    head_kw = {}
+    if head == "mv_softmax_arc":
+        head, head_kw = "mv_softmax", {"margin_type": "arc"}
+
+    model_name = f"{head}{'_arc' if head_kw else ''}"
+    cfg = cfg_lib.TrainConfig(
+        backbone=args.backbone, head=head, num_classes=args.num_classes,
+        batch_size=args.batch_size, epochs=args.epochs,
+        lambda_g=args.lambda_g, print_freq=args.print_freq,
+        seed=args.seed, working_path=args.working_path,
+        model_name=model_name, continue_train=args.continue_train,
+        optimizer=cfg_lib.OptimizerConfig(learning_rate=args.learning_rate),
+        mesh=cfg_lib.MeshConfig(data=args.mesh_data, model=args.mesh_model),
+        data=cfg_lib.DataConfig(dataset_path=args.dataset_path,
+                                image_size=args.image_size,
+                                num_workers=args.num_workers),
+    )
+
+    # --- data ---
+    if args.synthetic:
+        from face_recognition_models_tpu.data.pipeline import ArrayLoader
+        from face_recognition_models_tpu.data.synthetic import (
+            synthetic_identities)
+        cfg = cfg_lib.TrainConfig(**{
+            **cfg.__dict__, "num_classes": args.synthetic_classes})
+        images, labels = synthetic_identities(
+            args.synthetic_classes, args.synthetic_per_class,
+            image_size=args.image_size, seed=cfg.seed)
+        loader = ArrayLoader(images, labels, batch_size=cfg.batch_size,
+                             seed=cfg.seed)
+    else:
+        from face_recognition_models_tpu.data import ImageFolderIndex, Loader
+        if not args.dataset_path:
+            print("error: --dataset-path required (or --synthetic)",
+                  file=sys.stderr)
+            return 2
+        root = os.path.join(args.dataset_path, "CASIA-WebFace")
+        parts = []
+        for split in ("train", "valid"):  # ConcatDataset (model_utils:549-551)
+            try:
+                parts.append(ImageFolderIndex.build(root, split=split))
+            except FileNotFoundError:
+                pass
+        if not parts:
+            parts = [ImageFolderIndex.build(root)]
+        index = (parts[0] if len(parts) == 1
+                 else ImageFolderIndex.concat(parts))
+        loader = Loader(index, batch_size=cfg.batch_size,
+                        image_size=cfg.data.image_size,
+                        num_workers=cfg.data.num_workers, seed=cfg.seed)
+
+    # --- logging: console + log/<model>.txt tee (arcface.py:14-18) ---
+    from face_recognition_models_tpu.checkpoint import CheckpointManager
+    from face_recognition_models_tpu.train.loop import fit
+    from face_recognition_models_tpu.utils import ExperimentLogger, Tee
+
+    os.makedirs(os.path.join(args.working_path, "log"), exist_ok=True)
+    log_path = os.path.join(args.working_path, "log", f"{model_name}.txt")
+    ckpt_dir = args.model_save_path or os.path.join(
+        args.working_path, "checkpoints", model_name)
+    head_cfg = cfg_lib.make_head_config(head, num_classes=cfg.num_classes,
+                                        **head_kw)
+
+    with open(log_path, "a") as logfile, \
+            contextlib.redirect_stdout(Tee(sys.stdout, logfile)):
+        print(f"Training {model_name} ({args.backbone}) — "
+              f"batch {cfg.batch_size}, epochs {cfg.epochs}, "
+              f"lr {args.learning_rate}")
+        logger = ExperimentLogger(
+            args.wandb_project, model_name,
+            config=vars(args),
+            log_dir=os.path.join(args.working_path, "log"))
+        mgr = CheckpointManager(ckpt_dir, model_name,
+                                keep=cfg.keep_checkpoints)
+        t0 = time.time()
+        result = fit(cfg, loader, logger=logger, checkpoint_manager=mgr,
+                     head_cfg=head_cfg)
+        # final artifact = the embedding model (backbone params + BN stats);
+        # the full train state (incl. head kernel/state) lives in the
+        # epoch/min_loss checkpoints.
+        mgr.save_final({"params": result.state.params["backbone"],
+                        "batch_stats": result.state.batch_stats})
+        logger.finish()
+        print(f"Done in {time.time() - t0:.0f}s — min train loss "
+              f"{result.min_train_loss:.6f}, "
+              f"{result.images_per_sec:.0f} img/s")
+    return 0
+
+
+def _add_eval_parser(sub):
+    p = sub.add_parser("eval", help="10-fold verification over benchmarks")
+    p.add_argument("--checkpoint-dir", required=True,
+                   help="dir containing <model>/min_loss orbax checkpoints, "
+                        "or a single checkpoint dir with --head")
+    p.add_argument("--head", default=None,
+                   help="evaluate one model (else all found)")
+    p.add_argument("--backbone", default="resnet18")
+    p.add_argument("--eval-data-path", required=True,
+                   help="dir with <benchmark>/{pair.list,imgs}")
+    p.add_argument("--benchmarks", default=",".join(cfg_lib.EVAL_BENCHMARKS))
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--num-classes", type=int,
+                   default=cfg_lib.CASIA_NUM_CLASSES)
+    p.add_argument("--output-dir", default="evaluation_results")
+    p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
+    return p
+
+
+def cmd_eval(args) -> int:
+    from face_recognition_models_tpu.evaluation.batch_eval import (
+        run_batch_evaluation)
+    return run_batch_evaluation(
+        checkpoint_dir=args.checkpoint_dir,
+        head=args.head,
+        backbone=args.backbone,
+        eval_data_path=args.eval_data_path,
+        benchmarks=args.benchmarks.split(","),
+        batch_size=args.batch_size,
+        num_classes=args.num_classes,
+        output_dir=args.output_dir,
+        image_size=args.image_size,
+    )
+
+
+def _add_preprocess_parser(sub):
+    p = sub.add_parser("preprocess",
+                       help="offline face alignment to 112x112")
+    p.add_argument("--input", required=True)
+    p.add_argument("--output", required=True)
+    p.add_argument("--image-size", type=int, default=112)
+    return p
+
+
+def cmd_preprocess(args) -> int:
+    from face_recognition_models_tpu.data.preprocess import preprocess_dataset
+    preprocess_dataset(args.input, args.output, image_size=args.image_size)
+    return 0
+
+
+def cmd_list(args) -> int:
+    print("heads:     ", ", ".join(available_heads()))
+    print("backbones:  resnet18, resnet50, efficientnet_b0, mobilenet_v2")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="face",
+        description="TPU-native face-recognition framework")
+    parser.add_argument("--platform", default=None,
+                        help="force a JAX platform (e.g. 'cpu', 'tpu'); "
+                             "useful where a site plugin overrides "
+                             "JAX_PLATFORMS")
+    sub = parser.add_subparsers(dest="command", required=True)
+    _add_train_parser(sub)
+    _add_eval_parser(sub)
+    _add_preprocess_parser(sub)
+    sub.add_parser("list", help="list available heads/backbones")
+
+    args = parser.parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    if args.command == "train":
+        return cmd_train(args)
+    if args.command == "eval":
+        return cmd_eval(args)
+    if args.command == "preprocess":
+        return cmd_preprocess(args)
+    if args.command == "list":
+        return cmd_list(args)
+    parser.error(f"unknown command {args.command}")
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

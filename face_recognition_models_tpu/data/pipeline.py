@@ -1,0 +1,163 @@
+"""Host-side image loader feeding the device.
+
+The reference uses torch DataLoader with 8 worker processes, per-image PIL
+decode, per-sample ToTensor+Normalize, and a collate that drops corrupt
+images producing ragged batches (dataset.py:124-136, model_utils.py:140-144,
+539-552). TPU-native design differs deliberately:
+
+- decode on a thread pool into preallocated uint8 numpy batches (PIL
+  releases the GIL around JPEG decode);
+- STATIC batch shapes: a corrupt image is replaced by resampling another
+  index instead of shrinking the batch (XLA recompiles on shape change, so
+  the reference's ragged batches would be poison);
+- normalization ((x/255 - mean)/std) is NOT done on host: batches ship as
+  uint8 (4x less host->device bandwidth than fp32) and the train/eval step
+  applies the fused affine on device (ops/image_ops.py);
+- double-buffered prefetch: the next batch decodes while the device runs.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import os
+import queue
+import random
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from face_recognition_models_tpu.data.index import ImageFolderIndex
+
+
+def _decode_image(path: str, image_size: int) -> Optional[np.ndarray]:
+    """uint8 HWC decode; None on failure (reference dataset.py:127-131)."""
+    try:
+        from PIL import Image
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            if im.size != (image_size, image_size):
+                im = im.resize((image_size, image_size))
+            return np.asarray(im, dtype=np.uint8)
+    except Exception:
+        return None
+
+
+class Loader:
+    """Iterates (uint8 images [B,H,W,3], int32 labels [B]) epochs."""
+
+    def __init__(self, index: ImageFolderIndex, batch_size: int,
+                 image_size: int = 112, shuffle: bool = True,
+                 seed: int = 0, num_workers: int = 8,
+                 drop_remainder: bool = True, prefetch: int = 2):
+        self.index = index
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_workers = num_workers
+        self.drop_remainder = drop_remainder
+        self.prefetch = prefetch
+        self._paths = index.absolute_paths()
+        self._labels = np.asarray(index.labels(), dtype=np.int32)
+        self.skipped_images = 0  # corrupt-image counter (observability)
+
+    def steps_per_epoch(self) -> int:
+        n = len(self._paths)
+        return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        order = np.arange(len(self._paths))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        return order
+
+    def _load_batch(self, pool: cf.ThreadPoolExecutor, idxs: np.ndarray,
+                    rng: random.Random) -> Tuple[np.ndarray, np.ndarray]:
+        n = len(self._paths)
+        images = np.empty((len(idxs), self.image_size, self.image_size, 3),
+                          np.uint8)
+        labels = np.empty((len(idxs),), np.int32)
+
+        def fill(slot: int, idx: int, attempts: int = 4):
+            arr = _decode_image(self._paths[idx], self.image_size)
+            while arr is None and attempts > 0:
+                # static-shape policy: resample instead of dropping
+                self.skipped_images += 1
+                idx = rng.randrange(n)
+                arr = _decode_image(self._paths[idx], self.image_size)
+                attempts -= 1
+            if arr is None:
+                arr = np.zeros((self.image_size, self.image_size, 3),
+                               np.uint8)
+            images[slot] = arr
+            labels[slot] = self._labels[idx]
+
+        list(pool.map(fill, range(len(idxs)), idxs))
+        return images, labels
+
+    def epoch(self, epoch: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield batches for one epoch, with background prefetch."""
+        order = self._epoch_order(epoch)
+        bs = self.batch_size
+        steps = self.steps_per_epoch()
+        rng = random.Random(self.seed * 1000003 + epoch)
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                for s in range(steps):
+                    if stop.is_set():
+                        return
+                    idxs = order[s * bs:(s + 1) * bs]
+                    q.put(self._load_batch(pool, idxs, rng))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
+
+
+class ArrayLoader:
+    """In-memory variant (synthetic data / tests): same epoch API over
+    preloaded uint8 arrays."""
+
+    def __init__(self, images: np.ndarray, labels: np.ndarray,
+                 batch_size: int, shuffle: bool = True, seed: int = 0,
+                 drop_remainder: bool = True):
+        assert images.dtype == np.uint8 and images.ndim == 4
+        self.images = images
+        self.labels = labels.astype(np.int32)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_remainder = drop_remainder
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.images)
+        return (n // self.batch_size if self.drop_remainder
+                else -(-n // self.batch_size))
+
+    def epoch(self, epoch: int = 0):
+        order = np.arange(len(self.images))
+        if self.shuffle:
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+        bs = self.batch_size
+        for s in range(self.steps_per_epoch()):
+            idxs = order[s * bs:(s + 1) * bs]
+            yield self.images[idxs], self.labels[idxs]

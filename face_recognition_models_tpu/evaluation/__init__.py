@@ -1,0 +1,9 @@
+from face_recognition_models_tpu.evaluation.verification import (
+    VerificationResult,
+    embed_unique_images,
+    kfold_verification,
+    pair_cosine_similarities,
+)
+
+__all__ = ["VerificationResult", "embed_unique_images", "kfold_verification",
+           "pair_cosine_similarities"]

@@ -1,0 +1,142 @@
+"""Batch evaluation over models x benchmarks.
+
+Equivalent of the reference's evaluate_models.py: load each trained model's
+best checkpoint, run the 10-fold verification protocol on five benchmarks
+(agedb_30, cfp_fp, lfw, calfw, cplfw under <root>/<bench>/{pair.list,imgs}),
+and write accuracy/AUC CSV tables (plus XLSX when openpyxl is present —
+the reference writes a 2-sheet workbook, evaluate_models.py:108-115).
+
+Unlike the reference (19 full embedding passes per benchmark, SURVEY §3.2),
+every unique image is embedded once.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.data.pairs import benchmark_paths, load_pair_list
+from face_recognition_models_tpu.evaluation.verification import (
+    VerificationResult,
+    embed_unique_images,
+    kfold_verification,
+    pair_cosine_similarities,
+)
+
+
+def _load_benchmark_images(pairs: np.ndarray, imgs_dir: str,
+                           image_size: int) -> Dict[int, np.ndarray]:
+    from PIL import Image
+    unique = sorted({int(x) for x in pairs[:, :2].ravel()})
+    out = {}
+    for img_id in unique:
+        path = os.path.join(imgs_dir, f"{img_id}.jpg")
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            if im.size != (image_size, image_size):
+                im = im.resize((image_size, image_size))
+            out[img_id] = np.asarray(im, np.uint8)
+    return out
+
+
+def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
+                                image_size: int = 112,
+                                batch_size: int = 256,
+                                verbose: bool = True) -> VerificationResult:
+    pairs_file, imgs_dir = benchmark_paths(eval_root, benchmark)
+    pairs = load_pair_list(pairs_file)
+    images_by_id = _load_benchmark_images(pairs, imgs_dir, image_size)
+    ids = sorted(images_by_id)
+    id_to_row = {i: r for r, i in enumerate(ids)}
+    stack = np.stack([images_by_id[i] for i in ids])
+    emb = embed_unique_images(embed_fn, stack, batch_size)
+    sims = pair_cosine_similarities(emb, pairs, id_to_row)
+    return kfold_verification(sims, pairs[:, 2], verbose=verbose)
+
+
+def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
+                         benchmarks: Sequence[str],
+                         head: Optional[str] = None,
+                         backbone: str = "resnet18",
+                         batch_size: int = 256,
+                         num_classes: int = cfg_lib.CASIA_NUM_CLASSES,
+                         output_dir: str = "evaluation_results",
+                         image_size: int = 112) -> int:
+    import jax
+
+    from face_recognition_models_tpu.checkpoint import CheckpointManager
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.train.step import make_eval_step
+
+    if head is not None:
+        model_names = [head]
+    else:
+        if not os.path.isdir(checkpoint_dir):
+            print(f"error: checkpoint dir not found: {checkpoint_dir}")
+            return 1
+        model_names = sorted(
+            d for d in os.listdir(checkpoint_dir)
+            if os.path.isdir(os.path.join(checkpoint_dir, d)))
+    if not model_names:
+        print(f"No model checkpoints found under {checkpoint_dir}")
+        return 1
+
+    model = get_backbone(backbone)
+    dummy = np.zeros((1, image_size, image_size, 3), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           dummy, train=False)
+    abstract = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+
+    acc_rows: List[dict] = []
+    auc_rows: List[dict] = []
+    for name in model_names:
+        mgr = CheckpointManager(os.path.join(checkpoint_dir, name), name)
+        try:
+            restored = mgr.restore_final(abstract)
+        except Exception as e:  # missing checkpoint: warn & skip (ref :44-46)
+            print(f"[skip] {name}: could not load checkpoint ({e})")
+            continue
+        eval_step = jax.jit(make_eval_step(model))
+        embed_fn = lambda imgs: eval_step(restored["params"],
+                                          restored["batch_stats"], imgs)
+        acc_row, auc_row = {"model": name}, {"model": name}
+        for bench in benchmarks:
+            try:
+                res = evaluate_model_on_benchmark(
+                    embed_fn, eval_data_path, bench, image_size, batch_size)
+            except FileNotFoundError as e:
+                print(f"[skip] {name} on {bench}: {e}")
+                continue
+            print(f"{name} on {bench}: {res}")
+            acc_row[bench] = res.mean_accuracy
+            acc_row[f"{bench}_std"] = res.std_accuracy
+            auc_row[bench] = res.mean_auc
+            auc_row[f"{bench}_std"] = res.std_auc
+        acc_rows.append(acc_row)
+        auc_rows.append(auc_row)
+
+    os.makedirs(output_dir, exist_ok=True)
+    _write_tables(acc_rows, auc_rows, output_dir)
+    return 0
+
+
+def _write_tables(acc_rows, auc_rows, output_dir: str):
+    import pandas as pd
+    acc_df = pd.DataFrame(acc_rows)
+    auc_df = pd.DataFrame(auc_rows)
+    acc_df.to_csv(os.path.join(output_dir, "accuracy_10fold.csv"),
+                  index=False)
+    auc_df.to_csv(os.path.join(output_dir, "auc_10fold.csv"), index=False)
+    try:
+        with pd.ExcelWriter(
+                os.path.join(output_dir, "evaluation_10fold.xlsx")) as xl:
+            acc_df.to_excel(xl, sheet_name="accuracy", index=False)
+            auc_df.to_excel(xl, sheet_name="auc", index=False)
+    except (ImportError, ModuleNotFoundError, ValueError):
+        print("openpyxl not available — wrote CSVs only")
+    print(f"Wrote evaluation tables to {output_dir}/")

@@ -1,0 +1,207 @@
+"""The epoch driver — equivalent of the reference's main_pipeline() +
+train_model() (model_utils.py:147-216, 508-591), TPU-native:
+
+- one compiled train step reused across epochs (static shapes);
+- metrics are fetched lazily: device scalars are kept as async futures and
+  only synced at print_freq boundaries and epoch end, so logging never
+  stalls the device (the reference syncs loss.item() every step);
+- epoch-end: min-train-loss best checkpoint + rotating keep-3 epoch
+  checkpoint + schedule step are identical in behavior (:569-578);
+- resume {latest, min_loss} with the reference's exact semantics.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.checkpoint import CheckpointManager
+from face_recognition_models_tpu.heads import get_head
+from face_recognition_models_tpu.parallel import (
+    batch_sharding,
+    make_mesh,
+    train_state_shardings,
+)
+from face_recognition_models_tpu.train.optim import get_optimizer
+from face_recognition_models_tpu.train.schedules import get_schedule
+from face_recognition_models_tpu.train.state import create_train_state
+from face_recognition_models_tpu.train.step import (
+    make_eval_step,
+    make_train_step,
+)
+from face_recognition_models_tpu.utils.logging import AverageMeter, ProgressMeter
+
+
+@dataclass
+class FitResult:
+    state: Any
+    backbone: Any
+    head: Any
+    head_cfg: Any
+    min_train_loss: float
+    epochs_run: int
+    steps_per_sec: float
+    images_per_sec: float
+
+
+def degrade_images(images: jnp.ndarray) -> jnp.ndarray:
+    """Quality-degraded view for QAFace's `minput` (fixes the reference's
+    broken dual-input plumbing, criterion.py:1543-1552): 2x down/up bilinear
+    resample on device."""
+    n, h, w, c = images.shape
+    f32 = images.astype(jnp.float32)
+    small = jax.image.resize(f32, (n, h // 2, w // 2, c), "bilinear")
+    return jax.image.resize(small, (n, h, w, c), "bilinear")
+
+
+def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
+        mesh=None, use_mesh: Optional[bool] = None,
+        checkpoint_manager: Optional[CheckpointManager] = None,
+        head_cfg=None, hooks: Optional[Callable] = None) -> FitResult:
+    """Train for cfg.epochs over `loader` (any object with
+    steps_per_epoch() and epoch(i) -> iterator of (uint8 images, labels))."""
+    if head_cfg is None:
+        head_cfg = cfg_lib.make_head_config(cfg.head,
+                                            num_classes=cfg.num_classes)
+    steps_per_epoch = loader.steps_per_epoch()
+    if steps_per_epoch <= 0:
+        raise ValueError("loader yields no full batches")
+
+    schedule = get_schedule(cfg.schedule, cfg.optimizer.learning_rate,
+                            steps_per_epoch, cfg.epochs)
+    lr_for_tx = schedule if callable(schedule) else cfg.optimizer.learning_rate
+    tx = get_optimizer(cfg.optimizer.name, lr_for_tx,
+                       momentum=cfg.optimizer.momentum,
+                       weight_decay=cfg.optimizer.weight_decay,
+                       nesterov=cfg.optimizer.nesterov)
+    backbone, head, state = create_train_state(cfg, head_cfg, tx)
+
+    has_dropout = cfg.backbone in ("efficientnet_b0", "mobilenet_v2")
+    step_fn = make_train_step(
+        backbone, head, head_cfg, tx, lambda_g=cfg.lambda_g,
+        lr_schedule=schedule if callable(schedule) else None,
+        has_dropout=has_dropout, mean=cfg.data.mean, std=cfg.data.std,
+        horizontal_flip=cfg.data.horizontal_flip)
+
+    # --- mesh / sharding ---------------------------------------------------
+    if use_mesh is None:
+        use_mesh = jax.device_count() > 1
+    if use_mesh:
+        mesh = mesh or make_mesh(cfg.mesh)
+        shardings = train_state_shardings(mesh, state, head_cfg.num_classes)
+        data_s = batch_sharding(mesh)
+        state = jax.device_put(state, shardings)
+        in_shardings = (shardings, data_s, data_s)
+        if head.requires_minput:
+            in_shardings = in_shardings + (data_s,)
+            jit_step = jax.jit(
+                lambda s, im, lb, mi: step_fn(s, im, lb, mi),
+                in_shardings=in_shardings,
+                out_shardings=(shardings, None), donate_argnums=(0,))
+        else:
+            jit_step = jax.jit(lambda s, im, lb: step_fn(s, im, lb),
+                               in_shardings=in_shardings,
+                               out_shardings=(shardings, None),
+                               donate_argnums=(0,))
+        put = lambda x: jax.device_put(x, data_s)
+    else:
+        if head.requires_minput:
+            jit_step = jax.jit(lambda s, im, lb, mi: step_fn(s, im, lb, mi),
+                               donate_argnums=(0,))
+        else:
+            jit_step = jax.jit(lambda s, im, lb: step_fn(s, im, lb),
+                               donate_argnums=(0,))
+        put = jax.device_put
+
+    # --- resume ------------------------------------------------------------
+    min_train_loss = float("inf")
+    start_epoch = 1
+    if checkpoint_manager is not None:
+        if cfg.continue_train is None:
+            checkpoint_manager.reset()
+        else:
+            restored, start_epoch, loss = checkpoint_manager.restore(
+                state, mode=cfg.continue_train)
+            if restored is not None:
+                state = restored
+                if use_mesh:
+                    state = jax.device_put(state, shardings)
+                min_train_loss = loss if np.isfinite(loss) else float("inf")
+                print(f"### Resuming from epoch {start_epoch - 1} "
+                      f"(train_loss={loss:.6f}) ###")
+
+    # --- epoch loop --------------------------------------------------------
+    total_images = 0
+    t_train_start = time.time()
+    global_step = (start_epoch - 1) * steps_per_epoch
+    for epoch in range(start_epoch, cfg.epochs + start_epoch):
+        meters = {k: AverageMeter(n, f) for k, n, f in [
+            ("batch_time", "Time", ":6.3f"), ("data_time", "Data", ":6.3f"),
+            ("throughput", "img/s", ":.0f"), ("loss", "Loss", ":.3f"),
+            ("loss_id", "L_ID", ":.3f"), ("loss_mag", "L_mag", ":.6f"),
+            ("acc1", "Acc@1", ":6.2f"), ("acc5", "Acc@5", ":6.2f")]}
+        progress = ProgressMeter(
+            steps_per_epoch, list(meters.values()),
+            prefix=f"Epoch: [{epoch}/{cfg.epochs + start_epoch - 1}]")
+
+        losses = []
+        end = time.time()
+        for i, (images, labels) in enumerate(loader.epoch(epoch)):
+            data_t = time.time() - end
+            batch = (put(images), put(labels))
+            if head.requires_minput:
+                minput = degrade_images(batch[0].astype(jnp.float32)
+                                        if images.dtype != np.uint8
+                                        else batch[0])
+                state, metrics = jit_step(state, batch[0], batch[1], minput)
+            else:
+                state, metrics = jit_step(state, batch[0], batch[1])
+            losses.append(metrics["loss"])  # async device scalar
+
+            step_t = time.time() - end
+            end = time.time()
+            bsz = len(images)
+            total_images += bsz
+            global_step += 1
+
+            if i % cfg.print_freq == 0:
+                # sync point: materialize this step's metrics
+                m = {k: float(v) for k, v in metrics.items()}
+                meters["batch_time"].update(step_t, 1)
+                meters["data_time"].update(data_t, 1)
+                meters["throughput"].update(bsz / max(step_t, 1e-9), 1)
+                for k in ("loss", "loss_id", "loss_mag", "acc1", "acc5"):
+                    meters[k].update(m[k], bsz)
+                progress.display(i)
+                if logger is not None:
+                    logger.log({**m, "epoch": epoch}, step=global_step)
+
+        train_loss = float(np.mean([float(x) for x in losses]))
+
+        if checkpoint_manager is not None:
+            if train_loss < min_train_loss:
+                min_train_loss = train_loss
+                checkpoint_manager.save(state, epoch, train_loss,
+                                        is_best=True)
+                print(f"New best model saved: {train_loss:.6f}")
+            checkpoint_manager.save(state, epoch, train_loss)
+        else:
+            min_train_loss = min(min_train_loss, train_loss)
+
+        if hooks is not None:
+            hooks(epoch=epoch, state=state, train_loss=train_loss)
+
+    wall = time.time() - t_train_start
+    steps_run = global_step - (start_epoch - 1) * steps_per_epoch
+    return FitResult(
+        state=state, backbone=backbone, head=head, head_cfg=head_cfg,
+        min_train_loss=min_train_loss, epochs_run=cfg.epochs,
+        steps_per_sec=steps_run / max(wall, 1e-9),
+        images_per_sec=total_images / max(wall, 1e-9),
+    )

@@ -21,6 +21,10 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from face_recognition_models_tpu.ops.image_ops import (
+    normalize_images,
+    random_horizontal_flip,
+)
 from face_recognition_models_tpu.train.losses import mean_cross_entropy
 from face_recognition_models_tpu.train.metrics import topk_accuracy
 from face_recognition_models_tpu.train.state import TrainState
@@ -29,15 +33,28 @@ from face_recognition_models_tpu.train.state import TrainState
 def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     lambda_g: float = 0.0,
                     lr_schedule: Optional[Callable] = None,
-                    has_dropout: bool = False) -> Callable:
+                    has_dropout: bool = False,
+                    mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                    horizontal_flip: bool = False) -> Callable:
     """Build the jittable train step.
 
     Returns step(state, images, labels, minput_images=None)
       -> (new_state, metrics dict).
+
+    Images may be uint8 [N,H,W,3]: the ToTensor+Normalize transform
+    (model_utils.py:539-547) is fused on device so batches cross PCIe/DCN as
+    uint8.
     """
 
     def train_step(state: TrainState, images, labels, minput_images=None):
-        rng, head_rng, dropout_rng = jax.random.split(state.rng, 3)
+        rng, head_rng, dropout_rng, flip_rng = jax.random.split(state.rng, 4)
+
+        if images.dtype == jnp.uint8:
+            images = normalize_images(images, mean, std)
+            if minput_images is not None and minput_images.dtype == jnp.uint8:
+                minput_images = normalize_images(minput_images, mean, std)
+        if horizontal_flip:
+            images = random_horizontal_flip(flip_rng, images)
 
         def loss_fn(params):
             model_vars = {"params": params["backbone"],
@@ -95,11 +112,15 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(backbone) -> Callable:
+def make_eval_step(backbone, mean=(0.5, 0.5, 0.5),
+                   std=(0.5, 0.5, 0.5)) -> Callable:
     """Embedding extraction step: images -> [N, D] raw embeddings
-    (the reference *Net wrappers' eval branch, e.g. criterion.py:229-230)."""
+    (the reference *Net wrappers' eval branch, e.g. criterion.py:229-230).
+    uint8 inputs get the fused normalize on device."""
 
     def eval_step(params, batch_stats, images):
+        if images.dtype == jnp.uint8:
+            images = normalize_images(images, mean, std)
         variables = {"params": params, "batch_stats": batch_stats}
         feats = backbone.apply(variables, images, train=False)
         return feats.astype(jnp.float32)

@@ -1,0 +1,89 @@
+"""Eval protocol: 10-fold Youden verification on synthetic similarities with
+known structure, plus a direct parity check against a naive
+re-implementation of the reference's per-fold flow."""
+
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu.evaluation import (
+    kfold_verification,
+    pair_cosine_similarities,
+)
+
+
+def _synthetic_scores(n_per_class=300, gap=0.3, noise=0.1, seed=0):
+    rs = np.random.RandomState(seed)
+    pos = 0.5 + gap / 2 + noise * rs.randn(n_per_class)
+    neg = 0.5 - gap / 2 + noise * rs.randn(n_per_class)
+    sims = np.concatenate([pos, neg])
+    labels = np.concatenate([np.ones(n_per_class, int),
+                             np.zeros(n_per_class, int)])
+    perm = rs.permutation(len(sims))
+    return sims[perm], labels[perm]
+
+
+def test_separable_scores_give_near_perfect_accuracy():
+    sims, labels = _synthetic_scores(gap=1.0, noise=0.01)
+    res = kfold_verification(sims, labels)
+    # Youden's argmax picks the HIGHEST tied threshold (= the min positive
+    # score of the val fold), so ~1/(n_val_pos+1) of train-fold positives sit
+    # below it — an inherent property of the reference protocol, not a bug.
+    assert res.mean_accuracy > 96.0
+    assert res.mean_auc == pytest.approx(1.0, abs=1e-3)
+    assert len(res.fold_accuracies) == 10
+
+
+def test_random_scores_give_chance_accuracy():
+    rs = np.random.RandomState(0)
+    sims = rs.randn(2000)
+    labels = rs.randint(0, 2, 2000)
+    res = kfold_verification(sims, labels)
+    assert abs(res.mean_accuracy - 50.0) < 5.0
+    assert abs(res.mean_auc - 0.5) < 0.05
+
+
+def test_protocol_matches_reference_flow():
+    """Same folds/threshold/accuracy as a literal reimplementation of
+    model_utils.py:416-474 (tune on held-out fold, measure on the rest)."""
+    from sklearn.metrics import roc_auc_score, roc_curve
+    from sklearn.model_selection import StratifiedKFold
+
+    sims, labels = _synthetic_scores(gap=0.25, noise=0.15, seed=3)
+    res = kfold_verification(sims, labels)
+
+    skf = StratifiedKFold(n_splits=10, shuffle=True, random_state=42)
+    accs, aucs = [], []
+    for train_idx, val_idx in skf.split(sims[:, None], labels):
+        fpr, tpr, ths = roc_curve(labels[val_idx], sims[val_idx])
+        thresh = ths[np.argmax(tpr - fpr)]
+        preds = (sims[train_idx] > thresh).astype(int)
+        accs.append(100.0 * (preds == labels[train_idx]).mean())
+        aucs.append(roc_auc_score(labels[train_idx], sims[train_idx]))
+
+    np.testing.assert_allclose(res.fold_accuracies, accs, rtol=1e-12)
+    np.testing.assert_allclose(res.fold_aucs, aucs, rtol=1e-12)
+    assert res.mean_accuracy == pytest.approx(np.mean(accs))
+
+
+def test_determinism():
+    sims, labels = _synthetic_scores(seed=7)
+    r1 = kfold_verification(sims, labels)
+    r2 = kfold_verification(sims, labels)
+    assert r1.fold_accuracies == r2.fold_accuracies
+    assert r1.fold_thresholds == r2.fold_thresholds
+
+
+def test_pair_cosines_with_id_map():
+    emb = np.eye(4, dtype=np.float32)
+    pairs = np.array([[10, 10, 1], [10, 20, 0]])
+    id_to_row = {10: 1, 20: 3}
+    sims = pair_cosine_similarities(emb, pairs, id_to_row)
+    np.testing.assert_allclose(sims, [1.0, 0.0])
+
+
+def test_single_class_auc_zero():
+    sims = np.linspace(0, 1, 50)
+    labels = np.ones(50, int)
+    # protocol needs both classes for StratifiedKFold; test _auc convention
+    from face_recognition_models_tpu.evaluation.verification import _auc
+    assert _auc(labels, sims) == 0.0
