@@ -35,7 +35,8 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     lr_schedule: Optional[Callable] = None,
                     has_dropout: bool = False,
                     mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
-                    horizontal_flip: bool = False) -> Callable:
+                    horizontal_flip: bool = False,
+                    use_fused_head: bool = False) -> Callable:
     """Build the jittable train step.
 
     Returns step(state, images, labels, minput_images=None)
@@ -45,6 +46,17 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
     (model_utils.py:539-547) is fused on device so batches cross PCIe/DCN as
     uint8.
     """
+
+    if use_fused_head:
+        from face_recognition_models_tpu.heads.fused_adapter import (
+            fused_supported)
+        if not fused_supported(head_cfg.name):
+            raise ValueError(
+                f"head '{head_cfg.name}' has no fused-kernel path "
+                "(memory-blended heads use the jnp path)")
+        return _make_fused_train_step(backbone, head, head_cfg, tx,
+                                      lambda_g, lr_schedule, has_dropout,
+                                      mean, std, horizontal_flip)
 
     def train_step(state: TrainState, images, labels, minput_images=None):
         rng, head_rng, dropout_rng, flip_rng = jax.random.split(state.rng, 4)
@@ -107,6 +119,60 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
             opt_state=new_opt_state,
             rng=rng,
         )
+        return new_state, metrics
+
+    return train_step
+
+
+def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
+                           lr_schedule, has_dropout, mean, std,
+                           horizontal_flip) -> Callable:
+    """Train step backed by the fused Pallas margin+CE kernel: the [N, C]
+    logit matrix is never materialized (ops/fused_head.py)."""
+    from face_recognition_models_tpu.heads.fused_adapter import fused_apply
+
+    def train_step(state: TrainState, images, labels, minput_images=None):
+        del minput_images  # fused heads have no minput
+        rng, head_rng, dropout_rng, flip_rng = jax.random.split(state.rng, 4)
+        if images.dtype == jnp.uint8:
+            images = normalize_images(images, mean, std)
+        if horizontal_flip:
+            images = random_horizontal_flip(flip_rng, images)
+
+        def loss_fn(params):
+            model_vars = {"params": params["backbone"],
+                          "batch_stats": state.batch_stats}
+            rngs = {"dropout": dropout_rng} if has_dropout else None
+            feats, mutated = backbone.apply(
+                model_vars, images, train=True, mutable=["batch_stats"],
+                rngs=rngs)
+            out = fused_apply(head_cfg, params["kernel_w"],
+                              feats.astype(jnp.float32), labels,
+                              state.head_state, rng=head_rng)
+            loss = out.loss_id + lambda_g * out.loss_g
+            return loss, (out, mutated["batch_stats"])
+
+        (loss, (out, new_batch_stats)), grads = (
+            jax.value_and_grad(loss_fn, has_aux=True)(state.params))
+        updates, new_opt_state = tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+
+        lr = (lr_schedule(state.step) if lr_schedule is not None
+              else jnp.float32(0.0))
+        metrics = {
+            "loss": loss,
+            "loss_id": out.loss_id,
+            "loss_mag": lambda_g * out.loss_g,
+            "acc1": out.acc1,
+            "acc5": out.acc5,
+            "lr": lr,
+            "feat_norm": jnp.mean(out.norms),
+        }
+        new_state = state.replace(
+            step=state.step + 1, params=new_params,
+            batch_stats=new_batch_stats, head_state=out.state,
+            opt_state=new_opt_state, rng=rng)
         return new_state, metrics
 
     return train_step

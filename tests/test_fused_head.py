@@ -1,0 +1,162 @@
+"""Fused Pallas margin+CE kernel vs the jnp reference path: loss, metrics,
+state updates, and gradients must match to fp32 tolerance (interpret mode
+on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.heads import get_head
+from face_recognition_models_tpu.heads.fused_adapter import (
+    FUSED_HEADS,
+    fused_apply,
+)
+from face_recognition_models_tpu.train.losses import mean_cross_entropy
+from face_recognition_models_tpu.train.metrics import topk_accuracy
+
+N, D, C = 24, 64, 100  # C deliberately not a multiple of block_c
+
+
+def _setup(name, seed=0):
+    cfg = cfg_lib.make_head_config(name, feature_dim=D, num_classes=C)
+    head = get_head(name)
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    kernel = head.init_kernel(k1, cfg)
+    state = head.init_state(cfg)
+    feats = 10.0 * jax.random.normal(k2, (N, D), jnp.float32)
+    labels = jax.random.randint(k2, (N,), 0, C)
+    return cfg, head, kernel, state, feats, labels, k3
+
+
+def _jnp_loss(cfg, head, kernel, feats, labels, state, rng):
+    out = head.apply(cfg, kernel, feats, labels, state, rng=rng)
+    loss_id = mean_cross_entropy(out.logits, labels)
+    acc1, acc5 = topk_accuracy(out.pre_logits, labels)
+    return loss_id, out.loss_g, acc1, acc5, out.state
+
+
+@pytest.mark.parametrize("name", FUSED_HEADS)
+def test_fused_matches_jnp_forward(name):
+    cfg, head, kernel, state, feats, labels, rng = _setup(name)
+    loss_ref, loss_g_ref, acc1_ref, acc5_ref, state_ref = _jnp_loss(
+        cfg, head, kernel, feats, labels, state, rng)
+    out = fused_apply(cfg, kernel, feats, labels, state, rng=rng,
+                      block_n=16, block_c=64, interpret=True)
+    np.testing.assert_allclose(float(out.loss_id), float(loss_ref),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(out.loss_g), float(loss_g_ref),
+                               rtol=1e-5, atol=1e-6)
+    assert float(out.acc1) == float(acc1_ref)
+    assert float(out.acc5) == float(acc5_ref)
+    # state equivalence
+    for a, b in zip(jax.tree.leaves(out.state), jax.tree.leaves(state_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["cosface", "arcface", "curricularface",
+                                  "mv_softmax", "magface", "adaface",
+                                  "sphereface"])
+def test_fused_matches_jnp_gradients(name):
+    cfg, head, kernel, state, feats, labels, rng = _setup(name, seed=1)
+
+    def loss_jnp(kernel, feats):
+        loss_id, loss_g, *_ = _jnp_loss(cfg, head, kernel, feats, labels,
+                                        state, rng)
+        return loss_id + 0.1 * loss_g
+
+    def loss_fused(kernel, feats):
+        out = fused_apply(cfg, kernel, feats, labels, state, rng=rng,
+                          block_n=16, block_c=64, interpret=True)
+        return out.loss_id + 0.1 * out.loss_g
+
+    gk_ref, gf_ref = jax.grad(loss_jnp, argnums=(0, 1))(kernel, feats)
+    gk, gf = jax.grad(loss_fused, argnums=(0, 1))(kernel, feats)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
+                               rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref),
+                               rtol=5e-4, atol=1e-6)
+
+
+def test_fused_elastic_same_rng_matches():
+    """Elastic heads sample per-row margins; with the same key both paths
+    must agree."""
+    for name in ("elastic_cosface", "elastic_arcface"):
+        cfg, head, kernel, state, feats, labels, rng = _setup(name, seed=2)
+        loss_ref, *_ = _jnp_loss(cfg, head, kernel, feats, labels, state,
+                                 rng)
+        out = fused_apply(cfg, kernel, feats, labels, state, rng=rng,
+                          block_n=16, block_c=64, interpret=True)
+        np.testing.assert_allclose(float(out.loss_id), float(loss_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_fused_train_step_matches_jnp_train_step():
+    """Full train-step equivalence over several steps (params drift must
+    stay in fp32 noise)."""
+    from face_recognition_models_tpu.models.resnet import BasicBlock, ResNet
+    from face_recognition_models_tpu.train import (
+        TrainState,
+        get_optimizer,
+        make_train_step,
+    )
+
+    cfg = cfg_lib.make_head_config("arcface", feature_dim=32, num_classes=C)
+    head = get_head("arcface")
+    backbone = ResNet(stage_sizes=(1, 1), block=BasicBlock, embed_dim=32,
+                      num_filters=8, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = backbone.init(rng, jnp.zeros((1, 16, 16, 3)), train=False)
+    kernel = head.init_kernel(rng, cfg)
+    params = {"backbone": variables["params"], "kernel_w": kernel}
+
+    def build(use_fused):
+        tx = get_optimizer("sgd", 0.05, momentum=0.9, weight_decay=5e-4)
+        state = TrainState(step=jnp.int32(0), params=jax.tree.map(jnp.copy, params),
+                           batch_stats=variables.get("batch_stats", {}),
+                           head_state=None, opt_state=tx.init(params),
+                           rng=jax.random.PRNGKey(1))
+        # interpret mode so the pallas path runs on CPU
+        if use_fused:
+            from face_recognition_models_tpu.heads import fused_adapter as fa
+            from unittest import mock
+            step_raw = make_train_step(backbone, head, cfg, tx,
+                                       use_fused_head=True)
+            return state, step_raw
+        return state, make_train_step(backbone, head, cfg, tx)
+
+    # monkeypatch fused_apply default to interpret mode on CPU
+    import face_recognition_models_tpu.heads.fused_adapter as fa
+    orig = fa.fused_apply
+    def fused_interp(*args, **kw):
+        kw.setdefault("interpret", True)
+        kw.setdefault("block_n", 16)
+        kw.setdefault("block_c", 64)
+        return orig(*args, **kw)
+    fa.fused_apply = fused_interp
+    try:
+        import face_recognition_models_tpu.train.step as step_mod
+        state_f, step_f = build(True)
+        state_j, step_j = build(False)
+        images = jax.random.randint(rng, (16, 16, 16, 3), 0, 256, jnp.uint8)
+        labels = jax.random.randint(rng, (16,), 0, C)
+        for i in range(3):
+            state_f, mf = step_f(state_f, images, labels)
+            state_j, mj = step_j(state_j, images, labels)
+            np.testing.assert_allclose(float(mf["loss"]), float(mj["loss"]),
+                                       rtol=1e-4)
+            # acc may differ by one sample: the kernel's target cosine is a
+            # row-gather dot, the jnp path's is the matmul row — last-ulp
+            # ties can break differently (metrics only).
+            assert abs(float(mf["acc1"]) - float(mj["acc1"])) <= 100.0 / 16
+            assert abs(float(mf["acc5"]) - float(mj["acc5"])) <= 100.0 / 16
+        # parameters after 3 steps agree
+        for a, b in zip(jax.tree.leaves(state_f.params),
+                        jax.tree.leaves(state_j.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+    finally:
+        fa.fused_apply = orig
