@@ -23,21 +23,27 @@ def main():
     variables = model.init(rng, jnp.zeros((1, 112, 112, 3), jnp.float32),
                            train=False)
     eval_step = jax.jit(make_eval_step(model))
-
-    images = jax.random.randint(rng, (batch, 112, 112, 3), 0, 256,
-                                jnp.uint8)
     params, stats = variables["params"], variables.get("batch_stats", {})
 
-    # warmup / compile
-    out = eval_step(params, stats, images)
-    out.block_until_ready()
+    # distinct batches: repeated identical dispatches can be deduplicated by
+    # remote-execution caching, which would fake the timing.
+    iters = 20
+    batches = [jax.random.randint(jax.random.PRNGKey(i),
+                                  (batch, 112, 112, 3), 0, 256, jnp.uint8)
+               for i in range(iters)]
+    jax.block_until_ready(batches)
 
-    # timed: enough iterations to amortize dispatch
-    iters = 30
+    # warmup / compile (fetch a value: block_until_ready alone is unreliable
+    # through the remote-execution tunnel)
+    float(jnp.sum(eval_step(params, stats, batches[0])))
+
+    # timed with a data-dependency chain + host fetch so nothing can be
+    # elided, cached, or left in flight
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = eval_step(params, stats, images)
-    out.block_until_ready()
+    acc = jnp.float32(0.0)
+    for b in batches:
+        acc = acc + jnp.sum(eval_step(params, stats, b))
+    float(acc)
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt
