@@ -198,6 +198,61 @@ def cmd_preprocess(args) -> int:
     return 0
 
 
+def _add_facenet_parser(sub):
+    p = sub.add_parser("facenet", help="FaceNet triplet training "
+                                       "(PK sampling + semi-hard mining)")
+    p.add_argument("--dataset-path", default="",
+                   help="identity-folder tree root (or --synthetic)")
+    p.add_argument("--synthetic", action="store_true")
+    p.add_argument("--synthetic-classes", type=int, default=32)
+    p.add_argument("--synthetic-per-class", type=int, default=16)
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--embed-dim", type=int, default=128)
+    p.add_argument("--p", type=int, default=16, help="identities per batch")
+    p.add_argument("--k", type=int, default=4, help="images per identity")
+    p.add_argument("--margin", type=float, default=0.2)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--learning-rate", type=float, default=0.05)
+    p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def cmd_facenet(args) -> int:
+    import numpy as np
+
+    from face_recognition_models_tpu.config import FaceNetConfig
+    from face_recognition_models_tpu.triplet import train_facenet
+
+    if args.synthetic:
+        from face_recognition_models_tpu.data.synthetic import (
+            synthetic_identities)
+        images, labels = synthetic_identities(
+            args.synthetic_classes, args.synthetic_per_class,
+            image_size=args.image_size, seed=args.seed)
+    else:
+        if not args.dataset_path:
+            print("error: --dataset-path required (or --synthetic)",
+                  file=sys.stderr)
+            return 2
+        from face_recognition_models_tpu.data import ImageFolderIndex
+        from face_recognition_models_tpu.data.pipeline import _decode_image
+        index = ImageFolderIndex.build(args.dataset_path)
+        images = np.stack([
+            _decode_image(p, args.image_size)
+            for p in index.absolute_paths()])
+        labels = np.asarray(index.labels(), np.int32)
+
+    cfg = FaceNetConfig(backbone=args.backbone, embed_dim=args.embed_dim,
+                        p=args.p, k=args.k, margin=args.margin,
+                        learning_rate=args.learning_rate)
+    result = train_facenet(cfg, images, labels, epochs=args.epochs,
+                           image_size=args.image_size, seed=args.seed)
+    print(f"final loss {result.losses[-1]:.4f} — "
+          f"{result.images_per_sec:.0f} img/s")
+    return 0
+
+
 def cmd_list(args) -> int:
     print("heads:     ", ", ".join(available_heads()))
     print("backbones:  resnet18, resnet50, efficientnet_b0, mobilenet_v2")
@@ -212,16 +267,30 @@ def main(argv=None) -> int:
                         help="force a JAX platform (e.g. 'cpu', 'tpu'); "
                              "useful where a site plugin overrides "
                              "JAX_PLATFORMS")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() so the mesh "
+                             "spans all hosts/slices (DCN between slices)")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="enable jax NaN checking (slower)")
     sub = parser.add_subparsers(dest="command", required=True)
     _add_train_parser(sub)
     _add_eval_parser(sub)
     _add_preprocess_parser(sub)
+    _add_facenet_parser(sub)
     sub.add_parser("list", help="list available heads/backbones")
 
     args = parser.parse_args(argv)
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.multihost:
+        import jax
+        jax.distributed.initialize()
+    if args.debug_nans:
+        from face_recognition_models_tpu.utils.debug import enable_nan_checks
+        enable_nan_checks()
+    if args.command == "facenet":
+        return cmd_facenet(args)
     if args.command == "train":
         return cmd_train(args)
     if args.command == "eval":

@@ -1,0 +1,102 @@
+"""Port torchvision checkpoints into this framework's Flax params.
+
+The reference initializes its backbones from ImageNet-pretrained
+torchvision weights (backbones.py:12-26). This environment has no download
+egress, so pretrained init is delivered as a converter: load a torchvision
+`state_dict` (resnet18/resnet50) from disk and map it onto the Flax ResNet
+param/batch-stats pytree (NCHW->NHWC kernel transposes included).
+
+Usage:
+    import torch
+    sd = torch.load("resnet50-imagenet.pth", map_location="cpu")
+    params, batch_stats = port_torchvision_resnet(sd, flax_variables,
+                                                  stage_sizes=(3, 4, 6, 3))
+
+The final `fc` layer is NOT ported when the output dim differs (the
+reference swaps it for a fresh 512-d embedding layer anyway).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _np(t):
+    return np.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
+
+
+def _conv(sd, key):
+    # torch conv kernel [O, I, H, W] -> flax [H, W, I, O]
+    return _np(sd[key]).transpose(2, 3, 1, 0)
+
+
+def _bn(sd, prefix):
+    return {
+        "scale": _np(sd[prefix + ".weight"]),
+        "bias": _np(sd[prefix + ".bias"]),
+        "mean": _np(sd[prefix + ".running_mean"]),
+        "var": _np(sd[prefix + ".running_var"]),
+    }
+
+
+def port_torchvision_resnet(state_dict: Dict, variables: Dict,
+                            stage_sizes: Tuple[int, ...],
+                            bottleneck: bool = None,
+                            port_fc: bool = False) -> Tuple[Dict, Dict]:
+    """Map a torchvision ResNet state_dict onto our ResNet variables.
+
+    Returns (params, batch_stats) as plain nested dicts congruent with
+    `variables['params']` / `variables['batch_stats']`.
+    """
+    import jax
+
+    params = jax.tree.map(np.asarray, jax.device_get(variables["params"]))
+    stats = jax.tree.map(np.asarray, jax.device_get(variables["batch_stats"]))
+    if bottleneck is None:
+        bottleneck = any("conv3" in k for k in state_dict)
+
+    def set_bn(dst_params, dst_stats, name, src):
+        dst_params[name] = {"scale": src["scale"], "bias": src["bias"]}
+        dst_stats[name] = {"mean": src["mean"], "var": src["var"]}
+
+    # stem
+    params["conv1"] = {"kernel": _conv(state_dict, "conv1.weight")}
+    set_bn(params, stats, "bn1", _bn(state_dict, "bn1"))
+
+    n_convs = 3 if bottleneck else 2
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        for b in range(blocks):
+            src = f"layer{stage}.{b}"
+            dst = f"layer{stage}_{b}"
+            p, s = params[dst], stats[dst]
+            for ci in range(1, n_convs + 1):
+                p[f"conv{ci}"] = {"kernel": _conv(state_dict,
+                                                  f"{src}.conv{ci}.weight")}
+                set_bn(p, s, f"bn{ci}", _bn(state_dict, f"{src}.bn{ci}"))
+            if f"{src}.downsample.0.weight" in state_dict:
+                p["downsample_conv"] = {
+                    "kernel": _conv(state_dict, f"{src}.downsample.0.weight")}
+                set_bn(p, s, "downsample_bn",
+                       _bn(state_dict, f"{src}.downsample.1"))
+
+    if port_fc and "fc.weight" in state_dict:
+        w = _np(state_dict["fc.weight"])  # [out, in]
+        if w.shape[0] == params["fc"]["kernel"].shape[1]:
+            params["fc"] = {"kernel": w.T,
+                            "bias": _np(state_dict["fc.bias"])}
+
+    _check_congruent(variables["params"], params, "params")
+    _check_congruent(variables["batch_stats"], stats, "batch_stats")
+    return params, stats
+
+
+def _check_congruent(ref, got, what):
+    import jax
+
+    ref_shapes = jax.tree.map(lambda x: tuple(x.shape), ref)
+    got_shapes = jax.tree.map(lambda x: tuple(x.shape), got)
+    if ref_shapes != got_shapes:
+        raise ValueError(f"ported {what} tree does not match the model: "
+                         f"expected {ref_shapes}, got {got_shapes}")
