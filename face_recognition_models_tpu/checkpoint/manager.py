@@ -28,6 +28,20 @@ import orbax.checkpoint as ocp
 _EPOCH_RE = re.compile(r"^epoch_(\d+)$")
 
 
+def _abstractify(tree: Any) -> Any:
+    """ShapeDtypeStructs carrying shardings — some platforms require a
+    concrete sharding for deserialization."""
+    default = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
+    def to_abstract(x):
+        if not hasattr(x, "shape"):
+            return x
+        sharding = getattr(x, "sharding", None) or default
+        return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+    return jax.tree.map(to_abstract, tree)
+
+
 class CheckpointManager:
     def __init__(self, directory: str, model_name: str = "model",
                  keep: int = 3):
@@ -110,9 +124,7 @@ class CheckpointManager:
         if target is None:
             return None, 1, float("inf")
 
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-            if hasattr(x, "shape") else x, abstract_state)
+        abstract = _abstractify(abstract_state)
         payload = self._ckptr.restore(
             target, self._payload(abstract, 0, 0.0))
         epoch = int(payload["epoch"])
@@ -132,7 +144,4 @@ class CheckpointManager:
                       filename: Optional[str] = None):
         target = os.path.join(self.directory,
                               filename or f"{self.model_name}_final")
-        abstract = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-            if hasattr(x, "shape") else x, abstract_state)
-        return self._ckptr.restore(target, abstract)
+        return self._ckptr.restore(target, _abstractify(abstract_state))

@@ -1,0 +1,57 @@
+"""Backbones: shapes, dtypes, BN mutation, dropout determinism."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu.models import get_backbone
+
+IMG = 32
+
+
+@pytest.mark.parametrize("name", ["resnet18", "resnet50", "efficientnet_b0",
+                                  "mobilenet_v2"])
+def test_forward_shapes(name):
+    model = get_backbone(name, embed_dim=64, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, IMG, IMG, 3))
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_batch_stats_update_in_train_mode():
+    model = get_backbone("resnet18", embed_dim=32, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (4, IMG, IMG, 3)) + 3.0
+    variables = model.init(rng, x, train=False)
+    _, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    changed = any(not np.allclose(np.asarray(a), np.asarray(b))
+                  for a, b in zip(before, after))
+    assert changed
+
+
+def test_eval_mode_deterministic():
+    model = get_backbone("efficientnet_b0", embed_dim=32, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, IMG, IMG, 3))
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    out1 = model.apply(variables, x, train=False)
+    out2 = model.apply(variables, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+
+def test_bf16_compute_fp32_params():
+    model = get_backbone("resnet50", embed_dim=32)  # default bf16
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (1, IMG, IMG, 3))
+    variables = model.init(rng, x, train=False)
+    for leaf in jax.tree.leaves(variables["params"]):
+        assert leaf.dtype == jnp.float32
+    out = model.apply(variables, x, train=False)
+    assert out.dtype == jnp.bfloat16
