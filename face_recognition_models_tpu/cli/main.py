@@ -45,6 +45,8 @@ def _add_train_parser(sub):
                    default=cfg_lib.CASIA_NUM_CLASSES)
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--use-pallas-head", action="store_true",
+                   help="fused Pallas margin+CE kernel (TPU; 9 heads)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--synthetic", action="store_true",
@@ -70,6 +72,7 @@ def cmd_train(args) -> int:
         lambda_g=args.lambda_g, print_freq=args.print_freq,
         seed=args.seed, working_path=args.working_path,
         model_name=model_name, continue_train=args.continue_train,
+        use_pallas_head=args.use_pallas_head,
         optimizer=cfg_lib.OptimizerConfig(learning_rate=args.learning_rate),
         mesh=cfg_lib.MeshConfig(data=args.mesh_data, model=args.mesh_model),
         data=cfg_lib.DataConfig(dataset_path=args.dataset_path,

@@ -187,11 +187,13 @@ def _row_params(cfg, tcos_raw, norms, state, rng) -> _RowParams:
 
 def fused_apply(cfg, kernel, feats, labels, state, rng=None,
                 block_n: int = 128, block_c: int = 512,
-                interpret: bool = False) -> FusedApplyOut:
+                interpret: bool = False, mesh=None) -> FusedApplyOut:
     """Fused-path equivalent of head.apply + CE + top-k metrics.
 
     All labels must be valid (>= 0). Returns the mean CE directly — the
-    [N, C] logits are never materialized.
+    [N, C] logits are never materialized. With `mesh` (model axis > 1) the
+    kernel runs per class shard via shard_map with cross-shard logsumexp
+    (parallel/sharded_fused.py).
     """
     feats = feats.astype(jnp.float32)
     xn = l2_normalize(feats, axis=1)
@@ -203,9 +205,17 @@ def fused_apply(cfg, kernel, feats, labels, state, rng=None,
     tcos_raw = jnp.sum(xn * wn_t, axis=1)           # [N]
 
     rp = _row_params(cfg, tcos_raw, norms, state, rng)
-    out = fused_margin_ce(xn, wn, labels, rp.t, rp.tcos, rp.scale, rp.ab,
-                          rp.mode, rp.clamp_eps, block_n, block_c,
-                          interpret)
+    if mesh is not None and mesh.shape.get("model", 1) > 1:
+        from face_recognition_models_tpu.parallel.sharded_fused import (
+            sharded_fused_margin_ce)
+        out = sharded_fused_margin_ce(mesh, xn, wn, labels, rp.t, rp.tcos,
+                                      rp.scale, rp.ab, rp.mode,
+                                      rp.clamp_eps, block_n, block_c,
+                                      interpret)
+    else:
+        out = fused_margin_ce(xn, wn, labels, rp.t, rp.tcos, rp.scale,
+                              rp.ab, rp.mode, rp.clamp_eps, block_n,
+                              block_c, interpret)
     loss_id = jnp.mean(out.lse - out.target_logit)
     acc1 = 100.0 * jnp.mean((out.higher < 1).astype(jnp.float32))
     acc5 = 100.0 * jnp.mean((out.higher < 5).astype(jnp.float32))

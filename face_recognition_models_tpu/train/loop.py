@@ -82,18 +82,22 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
                        nesterov=cfg.optimizer.nesterov)
     backbone, head, state = create_train_state(cfg, head_cfg, tx)
 
-    has_dropout = cfg.backbone in ("efficientnet_b0", "mobilenet_v2")
-    step_fn = make_train_step(
-        backbone, head, head_cfg, tx, lambda_g=cfg.lambda_g,
-        lr_schedule=schedule if callable(schedule) else None,
-        has_dropout=has_dropout, mean=cfg.data.mean, std=cfg.data.std,
-        horizontal_flip=cfg.data.horizontal_flip)
-
     # --- mesh / sharding ---------------------------------------------------
     if use_mesh is None:
         use_mesh = jax.device_count() > 1
     if use_mesh:
         mesh = mesh or make_mesh(cfg.mesh)
+
+    has_dropout = cfg.backbone in ("efficientnet_b0", "mobilenet_v2")
+    step_fn = make_train_step(
+        backbone, head, head_cfg, tx, lambda_g=cfg.lambda_g,
+        lr_schedule=schedule if callable(schedule) else None,
+        has_dropout=has_dropout, mean=cfg.data.mean, std=cfg.data.std,
+        horizontal_flip=cfg.data.horizontal_flip,
+        use_fused_head=cfg.use_pallas_head,
+        mesh=mesh if use_mesh else None)
+
+    if use_mesh:
         shardings = train_state_shardings(mesh, state, head_cfg.num_classes)
         data_s = batch_sharding(mesh)
         state = jax.device_put(state, shardings)

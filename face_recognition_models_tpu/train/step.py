@@ -36,7 +36,8 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     has_dropout: bool = False,
                     mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
                     horizontal_flip: bool = False,
-                    use_fused_head: bool = False) -> Callable:
+                    use_fused_head: bool = False,
+                    mesh=None) -> Callable:
     """Build the jittable train step.
 
     Returns step(state, images, labels, minput_images=None)
@@ -56,7 +57,7 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                 "(memory-blended heads use the jnp path)")
         return _make_fused_train_step(backbone, head, head_cfg, tx,
                                       lambda_g, lr_schedule, has_dropout,
-                                      mean, std, horizontal_flip)
+                                      mean, std, horizontal_flip, mesh)
 
     def train_step(state: TrainState, images, labels, minput_images=None):
         rng, head_rng, dropout_rng, flip_rng = jax.random.split(state.rng, 4)
@@ -126,7 +127,7 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
 
 def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
                            lr_schedule, has_dropout, mean, std,
-                           horizontal_flip) -> Callable:
+                           horizontal_flip, mesh=None) -> Callable:
     """Train step backed by the fused Pallas margin+CE kernel: the [N, C]
     logit matrix is never materialized (ops/fused_head.py)."""
     from face_recognition_models_tpu.heads.fused_adapter import fused_apply
@@ -148,7 +149,7 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
                 rngs=rngs)
             out = fused_apply(head_cfg, params["kernel_w"],
                               feats.astype(jnp.float32), labels,
-                              state.head_state, rng=head_rng)
+                              state.head_state, rng=head_rng, mesh=mesh)
             loss = out.loss_id + lambda_g * out.loss_g
             return loss, (out, mutated["batch_stats"])
 
