@@ -1,3 +1,6 @@
+from face_recognition_models_tpu.evaluation.device_protocol import (
+    kfold_verification_device,
+)
 from face_recognition_models_tpu.evaluation.verification import (
     VerificationResult,
     embed_unique_images,
@@ -6,4 +9,4 @@ from face_recognition_models_tpu.evaluation.verification import (
 )
 
 __all__ = ["VerificationResult", "embed_unique_images", "kfold_verification",
-           "pair_cosine_similarities"]
+           "kfold_verification_device", "pair_cosine_similarities"]
