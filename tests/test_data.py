@@ -130,3 +130,40 @@ def test_array_loader():
     assert loader.steps_per_epoch() == 3
     for im, lb in loader.epoch(0):
         assert im.shape == (4, 16, 16, 3)
+
+
+def test_native_decoder_matches_loader_contract(tree):
+    """Native backend produces the same shapes/labels and handles corrupt
+    files by resampling, like the PIL backend."""
+    from face_recognition_models_tpu.native import is_available
+
+    if not is_available():
+        pytest.skip("native decoder unavailable (no g++/libjpeg)")
+    idx = ImageFolderIndex.build(tree, split="train")
+    nat = Loader(idx, batch_size=8, image_size=32, backend="native",
+                 shuffle=False)
+    pil = Loader(idx, batch_size=8, image_size=32, backend="pil",
+                 shuffle=False)
+    assert nat.backend == "native" and pil.backend == "pil"
+    (im_n, lb_n), (im_p, lb_p) = next(nat.epoch(0)), next(pil.epoch(0))
+    np.testing.assert_array_equal(lb_n, lb_p)
+    assert im_n.shape == im_p.shape == (8, 32, 32, 3)
+    # same source JPEGs: decoded pixels must agree closely (identical
+    # libjpeg DCT path; PIL may differ by rounding)
+    assert np.abs(im_n.astype(int) - im_p.astype(int)).mean() < 2.0
+
+
+def test_native_decoder_corrupt_resample(tree):
+    from face_recognition_models_tpu.native import is_available
+
+    if not is_available():
+        pytest.skip("native decoder unavailable")
+    idx = ImageFolderIndex.build(tree, split="train")
+    victim = os.path.join(idx.root, idx.samples[2][0])
+    with open(victim, "wb") as f:
+        f.write(b"corrupt")
+    loader = Loader(idx, batch_size=len(idx), image_size=32,
+                    backend="native", shuffle=False)
+    images, labels = next(loader.epoch(0))
+    assert images.shape[0] == len(idx)
+    assert loader.skipped_images >= 1
