@@ -190,3 +190,30 @@ def test_global_batch_ema_under_dp():
     np.testing.assert_allclose(
         float(state_out.head_state.batch_mean[0]),
         float(state2_out.head_state.batch_mean[0]), rtol=1e-5)
+
+
+def test_dropout_backbone_train_step():
+    """Backbones with dropout/stochastic-depth need rngs plumbed through
+    the train step (loop sets has_dropout for effnet/mbv2)."""
+    from face_recognition_models_tpu.models import get_backbone
+
+    head_cfg = cfg_lib.make_head_config("cosface", feature_dim=D,
+                                        num_classes=C)
+    head = get_head("cosface")
+    backbone = get_backbone("mobilenet_v2", embed_dim=D, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    variables = backbone.init({"params": rng, "dropout": rng},
+                              jnp.zeros((1, IMG, IMG, 3)), train=False)
+    params = {"backbone": variables["params"],
+              "kernel_w": head.init_kernel(rng, head_cfg)}
+    tx = get_optimizer("sgd", 0.01, momentum=0.9, weight_decay=5e-4)
+    state = TrainState(step=jnp.int32(0), params=params,
+                       batch_stats=variables.get("batch_stats", {}),
+                       head_state=None, opt_state=tx.init(params),
+                       rng=jax.random.PRNGKey(1))
+    step = jax.jit(make_train_step(backbone, head, head_cfg, tx,
+                                   has_dropout=True))
+    images, labels = _synthetic_batch(jax.random.PRNGKey(2), b=8)
+    state, m1 = step(state, images, labels)
+    state, m2 = step(state, images, labels)
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
