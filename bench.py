@@ -25,25 +25,27 @@ def main():
     eval_step = jax.jit(make_eval_step(model))
     params, stats = variables["params"], variables.get("batch_stats", {})
 
-    # distinct batches: repeated identical dispatches can be deduplicated by
-    # remote-execution caching, which would fake the timing.
+    # Entire timed loop inside ONE jit as a lax.scan over distinct batches:
+    # robust against remote-dispatch latency jitter, execution caching, and
+    # unreliable block_until_ready through the tunnel — the fetched scalar
+    # depends on every iteration.
     iters = 20
-    batches = [jax.random.randint(jax.random.PRNGKey(i),
-                                  (batch, 112, 112, 3), 0, 256, jnp.uint8)
-               for i in range(iters)]
-    jax.block_until_ready(batches)
+    batches = jnp.stack([
+        jax.random.randint(jax.random.PRNGKey(i), (batch, 112, 112, 3),
+                           0, 256, jnp.uint8)
+        for i in range(iters)])
 
-    # warmup / compile (fetch a value: block_until_ready alone is unreliable
-    # through the remote-execution tunnel)
-    float(jnp.sum(eval_step(params, stats, batches[0])))
+    @jax.jit
+    def run(params, stats, batches):
+        def body(acc, images):
+            return acc + jnp.sum(eval_step(params, stats, images)
+                                 .astype(jnp.float32)), None
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), batches)
+        return acc
 
-    # timed with a data-dependency chain + host fetch so nothing can be
-    # elided, cached, or left in flight
+    float(run(params, stats, batches))  # compile + warmup
     t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for b in batches:
-        acc = acc + jnp.sum(eval_step(params, stats, b))
-    float(acc)
+    float(run(params, stats, batches))  # one dispatch, pure device loop
     dt = time.perf_counter() - t0
 
     ips = batch * iters / dt
