@@ -167,6 +167,10 @@ def _add_eval_parser(sub):
                    default=cfg_lib.CASIA_NUM_CLASSES)
     p.add_argument("--output-dir", default="evaluation_results")
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
+    p.add_argument("--which", choices=["final", "min_loss"],
+                   default="final",
+                   help="which checkpoint to evaluate (the reference "
+                        "evaluates min_loss)")
     return p
 
 
@@ -183,6 +187,7 @@ def cmd_eval(args) -> int:
         num_classes=args.num_classes,
         output_dir=args.output_dir,
         image_size=args.image_size,
+        which=args.which,
     )
 
 

@@ -64,7 +64,11 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
                          batch_size: int = 256,
                          num_classes: int = cfg_lib.CASIA_NUM_CLASSES,
                          output_dir: str = "evaluation_results",
-                         image_size: int = 112) -> int:
+                         image_size: int = 112,
+                         which: str = "final") -> int:
+    """which: 'final' evaluates the end-of-training snapshot; 'min_loss'
+    evaluates the best-by-train-loss checkpoint (the reference's
+    evaluate_models.py loads <Name>_min_loss.pth)."""
     import jax
 
     from face_recognition_models_tpu.checkpoint import CheckpointManager
@@ -97,7 +101,19 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
     for name in model_names:
         mgr = CheckpointManager(os.path.join(checkpoint_dir, name), name)
         try:
-            restored = mgr.restore_final(abstract)
+            if which == "min_loss":
+                # best checkpoint stores the full train state; extract the
+                # embedding model
+                import orbax.checkpoint as ocp
+                best_dir = os.path.abspath(
+                    os.path.join(checkpoint_dir, name, "min_loss"))
+                full = ocp.StandardCheckpointer().restore(best_dir)
+                backbone_params = full["state"]["params"]["backbone"]
+                bstats = full["state"]["batch_stats"]
+                restored = {"params": backbone_params,
+                            "batch_stats": bstats}
+            else:
+                restored = mgr.restore_final(abstract)
         except Exception as e:  # missing checkpoint: warn & skip (ref :44-46)
             print(f"[skip] {name}: could not load checkpoint ({e})")
             continue

@@ -12,6 +12,7 @@ train_model() (model_utils.py:147-216, 508-591), TPU-native:
 
 from __future__ import annotations
 
+import signal
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Optional
@@ -140,6 +141,21 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
                 print(f"### Resuming from epoch {start_epoch - 1} "
                       f"(train_loss={loss:.6f}) ###")
 
+    # --- preemption-aware save (SURVEY §5.3): on SIGTERM/SIGINT finish the
+    # current step, checkpoint, then exit — resume picks up from here ------
+    preempted = {"flag": False}
+    prev_handlers = {}
+
+    def _on_signal(signum, frame):
+        preempted["flag"] = True
+
+    if checkpoint_manager is not None:
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+            except ValueError:  # not the main thread
+                break
+
     # --- epoch loop --------------------------------------------------------
     total_images = 0
     t_train_start = time.time()
@@ -174,6 +190,15 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             total_images += bsz
             global_step += 1
 
+            if preempted["flag"]:
+                if checkpoint_manager is not None:
+                    partial_loss = float(np.mean([float(x) for x in losses]))
+                    checkpoint_manager.save(state, epoch - 1, partial_loss)
+                    print(f"### Preemption: saved checkpoint at epoch "
+                          f"{epoch - 1} step {i} — resume with "
+                          f"continue_train='latest' ###")
+                raise SystemExit(143)
+
             if i % cfg.print_freq == 0:
                 # sync point: materialize this step's metrics
                 m = {k: float(v) for k, v in metrics.items()}
@@ -200,6 +225,9 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
 
         if hooks is not None:
             hooks(epoch=epoch, state=state, train_loss=train_loss)
+
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
 
     wall = time.time() - t_train_start
     steps_run = global_step - (start_epoch - 1) * steps_per_epoch
