@@ -95,3 +95,49 @@ def test_fit_qaface_dual_input(tmp_path, dataset):
     assert np.isfinite(result.min_train_loss)
     # memory was written for the classes seen
     assert float(np.abs(np.asarray(result.state.head_state.mem)).sum()) > 0
+
+
+def test_fit_from_file_loader(tmp_path, dataset):
+    """End-to-end with the file-based Loader (threaded decode), not just
+    ArrayLoader: identity tree on disk -> index -> loader -> fit."""
+    from face_recognition_models_tpu.data import ImageFolderIndex, Loader
+    from face_recognition_models_tpu.data.synthetic import write_identity_tree
+
+    images, labels = dataset
+    write_identity_tree(str(tmp_path), images, labels, split="train")
+    index = ImageFolderIndex.build(str(tmp_path), split="train")
+    loader = Loader(index, batch_size=BS, image_size=IMG, num_workers=2,
+                    seed=0)
+    result = fit(_cfg(tmp_path, epochs=1), loader, use_mesh=False)
+    assert np.isfinite(result.min_train_loss)
+
+
+def test_facenet_verification_end_to_end(tmp_path, dataset):
+    """FaceNet triplet training then pair verification beats chance."""
+    from face_recognition_models_tpu.config import FaceNetConfig
+    from face_recognition_models_tpu.triplet import train_facenet
+    from face_recognition_models_tpu.ops.image_ops import normalize_images
+
+    images, labels = dataset
+    cfg = FaceNetConfig(backbone="resnet18", p=4, k=4, learning_rate=0.02)
+    result = train_facenet(cfg, images, labels, epochs=8, image_size=IMG,
+                           verbose=False)
+
+    emb = np.array(result.model.apply(
+        {"params": result.state.params,
+         "batch_stats": result.state.batch_stats},
+        normalize_images(images), train=False))
+
+    rs = np.random.RandomState(0)
+    pairs = []
+    for _ in range(120):
+        c = rs.randint(C)
+        i, j = rs.choice(np.flatnonzero(labels == c), 2, replace=False)
+        pairs.append((i, j, 1))
+        c1, c2 = rs.choice(C, 2, replace=False)
+        pairs.append((rs.choice(np.flatnonzero(labels == c1)),
+                      rs.choice(np.flatnonzero(labels == c2)), 0))
+    pairs = np.asarray(pairs)
+    sims = pair_cosine_similarities(emb, pairs)
+    res = kfold_verification(sims, pairs[:, 2])
+    assert res.mean_auc > 0.85, res
