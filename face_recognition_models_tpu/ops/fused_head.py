@@ -88,7 +88,7 @@ def _fwd_kernel(xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref,
                 lse_ref, tlogit_ref, higher_ref,
                 m_scr, l_scr, hi_scr,
                 *, mode: int, num_classes: int, block_c: int,
-                clamp_eps):
+                clamp_eps, mm_dtype=jnp.float32):
     jc = pl.program_id(1)
     num_c = pl.num_programs(1)
 
@@ -98,8 +98,8 @@ def _fwd_kernel(xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         hi_scr[:] = jnp.zeros_like(hi_scr)
 
-    xn = xn_ref[:]                                     # [BN, D]
-    wn = wn_ref[:]                                     # [D, BC]
+    xn = xn_ref[:].astype(mm_dtype)                    # [BN, D]
+    wn = wn_ref[:].astype(mm_dtype)                    # [D, BC]
     cos = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
     if clamp_eps is not None:
         cos = jnp.clip(cos, -1.0 + clamp_eps, 1.0 - clamp_eps)
@@ -147,7 +147,7 @@ def _bwd_dx_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
                    dx_ref, dt_ref, dscale_ref,
                    dx_scr, dt_scr, dsc_scr,
                    *, mode: int, num_classes: int, block_c: int,
-                clamp_eps):
+                clamp_eps, mm_dtype=jnp.float32):
     jc = pl.program_id(1)
     num_c = pl.num_programs(1)
 
@@ -157,8 +157,8 @@ def _bwd_dx_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
         dt_scr[:] = jnp.zeros_like(dt_scr)
         dsc_scr[:] = jnp.zeros_like(dsc_scr)
 
-    xn = xn_ref[:]
-    wn = wn_ref[:]                                      # [D, BC]
+    xn = xn_ref[:].astype(mm_dtype)
+    wn = wn_ref[:].astype(mm_dtype)                     # [D, BC]
     cos_raw = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
     if clamp_eps is not None:
         cos = jnp.clip(cos_raw, -1.0 + clamp_eps, 1.0 - clamp_eps)
@@ -195,7 +195,8 @@ def _bwd_dx_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
     dsc_scr[:] += jnp.sum(
         jnp.where(is_target, dlogits * t, dlogits * h), axis=1,
         keepdims=True)
-    dx_scr[:] += jnp.dot(dcos, wn.T, preferred_element_type=jnp.float32)
+    dx_scr[:] += jnp.dot(dcos.astype(mm_dtype), wn.T,
+                         preferred_element_type=jnp.float32)
 
     @pl.when(jc == num_c - 1)
     def _finalize():
@@ -209,7 +210,7 @@ def _bwd_dw_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
                    lse_ref, g_lse_ref,
                    dw_ref, dw_scr,
                    *, mode: int, num_classes: int, block_c: int,
-                   block_n: int, clamp_eps):
+                   block_n: int, clamp_eps, mm_dtype=jnp.float32):
     jn = pl.program_id(1)
     num_n = pl.num_programs(1)
 
@@ -217,8 +218,8 @@ def _bwd_dw_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
     def _init():
         dw_scr[:] = jnp.zeros_like(dw_scr)
 
-    xn = xn_ref[:]                                      # [BN, D]
-    wn = wn_ref[:]                                      # [D, BC]
+    xn = xn_ref[:].astype(mm_dtype)                     # [BN, D]
+    wn = wn_ref[:].astype(mm_dtype)                     # [D, BC]
     cos_raw = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
     if clamp_eps is not None:
         cos = jnp.clip(cos_raw, -1.0 + clamp_eps, 1.0 - clamp_eps)
@@ -248,7 +249,8 @@ def _bwd_dw_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
     dlogits = g_lse * p
     dcos = jnp.where(is_target, 0.0,
                      dlogits * scale * _h_grad(mode, cos, a, b)) * clamp_pass
-    dw_scr[:] += jnp.dot(xn.T, dcos, preferred_element_type=jnp.float32)
+    dw_scr[:] += jnp.dot(xn.T, dcos.astype(mm_dtype),
+                         preferred_element_type=jnp.float32)
 
     @pl.when(jn == num_n - 1)
     def _finalize():
@@ -273,10 +275,14 @@ def _row(x):
     return x.reshape(-1, 1).astype(jnp.float32)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def fused_margin_ce(xn, wn, labels, t, tcos, scale, ab,
                     mode: int, clamp_eps=None, block_n: int = 128,
-                    block_c: int = 512, interpret: bool = False):
+                    block_c: int = 512, interpret: bool = False,
+                    mm_dtype=jnp.float32):
+    """mm_dtype=jnp.bfloat16 runs the three matmul passes on the MXU in
+    bf16 (fp32 accumulate) — ~2x the matmul rate at ~1e-2 logit error;
+    keep fp32 (default) for reference parity."""
     """Returns (lse [N], target_logit [N], higher [N]).
 
     xn [N, D] row-normalized embeddings; wn [D, C] column-normalized class
@@ -285,12 +291,12 @@ def fused_margin_ce(xn, wn, labels, t, tcos, scale, ab,
     margin-mode params.
     """
     out, _ = _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps,
-                        block_n, block_c, interpret)
+                        block_n, block_c, interpret, mm_dtype)
     return out
 
 
 def _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
-               block_c, interpret):
+               block_c, interpret, mm_dtype=jnp.float32):
     n, d = xn.shape
     c = wn.shape[1]
     n_pad = -(-n // block_n) * block_n
@@ -311,7 +317,8 @@ def _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
     row_spec = pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, mode=mode, num_classes=c,
-                               block_c=block_c, clamp_eps=clamp_eps)
+                               block_c=block_c, clamp_eps=clamp_eps,
+                               mm_dtype=mm_dtype)
     lse, tlogit, higher = pl.pallas_call(
         kernel,
         grid=grid,
@@ -334,8 +341,8 @@ def _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
     return out, residuals
 
 
-def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, residuals,
-               grads):
+def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
+               residuals, grads):
     xn, wn, labels, t, tcos, scale, ab, lse = residuals
     g_lse, g_t, _g_higher = grads  # higher is a statistic: no gradient
     n, d = xn.shape
@@ -360,7 +367,8 @@ def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, residuals,
 
     dx, dt, dscale = pl.pallas_call(
         functools.partial(_bwd_dx_kernel, mode=mode, num_classes=c,
-                          block_c=block_c, clamp_eps=clamp_eps),
+                          block_c=block_c, clamp_eps=clamp_eps,
+                          mm_dtype=mm_dtype),
         grid=(n_pad // block_n, c_pad // block_c),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i, j: (i, 0),
@@ -393,7 +401,7 @@ def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, residuals,
     dw = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, mode=mode, num_classes=c,
                           block_c=block_c, block_n=block_n,
-                          clamp_eps=clamp_eps),
+                          clamp_eps=clamp_eps, mm_dtype=mm_dtype),
         grid=(c_pad // block_c, n_pad // block_n),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda j, i: (i, 0),
@@ -415,6 +423,7 @@ def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, residuals,
 
 fused_margin_ce.defvjp(
     lambda xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
-    block_c, interpret: _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode,
-                                   clamp_eps, block_n, block_c, interpret),
+    block_c, interpret, mm_dtype=jnp.float32: _fused_fwd(
+        xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
+        block_c, interpret, mm_dtype),
     _fused_bwd)

@@ -160,3 +160,29 @@ def test_fused_train_step_matches_jnp_train_step():
                                        rtol=1e-3, atol=1e-5)
     finally:
         fa.fused_apply = orig
+
+
+def test_bf16_matmul_variant_close():
+    """mm_dtype=bfloat16 trades ~1e-2 logit precision for matmul rate; the
+    loss must stay close to the fp32 kernel."""
+    from face_recognition_models_tpu.heads.fused_adapter import _row_params
+    from face_recognition_models_tpu.ops.fused_head import fused_margin_ce
+    from face_recognition_models_tpu.ops.normalize import (
+        feature_norms, l2_normalize)
+
+    cfg, head, kernel, state, feats, labels, rng = _setup("arcface")
+    xn = l2_normalize(feats, axis=1)
+    wn = l2_normalize(kernel, axis=0)
+    norms = feature_norms(feats)
+    wn_t = jnp.take(wn, labels, axis=1).T
+    tcos_raw = jnp.sum(xn * wn_t, axis=1)
+    rp = _row_params(cfg, tcos_raw, norms, state, rng)
+
+    out32 = fused_margin_ce(xn, wn, labels, rp.t, rp.tcos, rp.scale, rp.ab,
+                            rp.mode, rp.clamp_eps, 16, 64, True)
+    out16 = fused_margin_ce(xn, wn, labels, rp.t, rp.tcos, rp.scale, rp.ab,
+                            rp.mode, rp.clamp_eps, 16, 64, True,
+                            jnp.bfloat16)
+    loss32 = float(jnp.mean(out32.lse - out32.target_logit))
+    loss16 = float(jnp.mean(out16.lse - out16.target_logit))
+    assert abs(loss32 - loss16) / abs(loss32) < 0.05
