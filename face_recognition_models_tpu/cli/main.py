@@ -47,6 +47,12 @@ def _add_train_parser(sub):
     p.add_argument("--mesh-model", type=int, default=1)
     p.add_argument("--use-pallas-head", action="store_true",
                    help="fused Pallas margin+CE kernel (TPU; 9 heads)")
+    p.add_argument("--eval-after", action="store_true",
+                   help="run benchmark verification after training (the "
+                        "reference README claims this but never does it)")
+    p.add_argument("--eval-data-path", default="",
+                   help="benchmark root for --eval-after")
+    p.add_argument("--benchmarks", default=",".join(cfg_lib.EVAL_BENCHMARKS))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=8)
     p.add_argument("--synthetic", action="store_true",
@@ -148,6 +154,29 @@ def cmd_train(args) -> int:
         print(f"Done in {time.time() - t0:.0f}s — min train loss "
               f"{result.min_train_loss:.6f}, "
               f"{result.images_per_sec:.0f} img/s")
+
+        if args.eval_after:
+            if not args.eval_data_path:
+                print("--eval-after: no --eval-data-path given, skipping")
+            else:
+                import jax
+
+                from face_recognition_models_tpu.evaluation.batch_eval import (
+                    evaluate_model_on_benchmark)
+                from face_recognition_models_tpu.train.step import (
+                    make_eval_step)
+                eval_step = jax.jit(make_eval_step(result.backbone))
+                params = result.state.params["backbone"]
+                stats = result.state.batch_stats
+                embed = lambda imgs: eval_step(params, stats, imgs)
+                for bench in args.benchmarks.split(","):
+                    try:
+                        res = evaluate_model_on_benchmark(
+                            embed, args.eval_data_path, bench,
+                            cfg.data.image_size, verbose=False)
+                        print(f"[eval-after] {model_name} on {bench}: {res}")
+                    except FileNotFoundError as e:
+                        print(f"[eval-after] skip {bench}: {e}")
     return 0
 
 
@@ -171,6 +200,9 @@ def _add_eval_parser(sub):
                    default="final",
                    help="which checkpoint to evaluate (the reference "
                         "evaluates min_loss)")
+    p.add_argument("--device-protocol", action="store_true",
+                   help="run the 10-fold protocol fully vectorized on "
+                        "device instead of the sklearn host path")
     return p
 
 
@@ -188,6 +220,7 @@ def cmd_eval(args) -> int:
         output_dir=args.output_dir,
         image_size=args.image_size,
         which=args.which,
+        protocol="device" if args.device_protocol else "host",
     )
 
 

@@ -45,7 +45,8 @@ def _load_benchmark_images(pairs: np.ndarray, imgs_dir: str,
 def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
                                 image_size: int = 112,
                                 batch_size: int = 256,
-                                verbose: bool = True) -> VerificationResult:
+                                verbose: bool = True,
+                                protocol: str = "host") -> VerificationResult:
     pairs_file, imgs_dir = benchmark_paths(eval_root, benchmark)
     pairs = load_pair_list(pairs_file)
     images_by_id = _load_benchmark_images(pairs, imgs_dir, image_size)
@@ -54,6 +55,10 @@ def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
     stack = np.stack([images_by_id[i] for i in ids])
     emb = embed_unique_images(embed_fn, stack, batch_size)
     sims = pair_cosine_similarities(emb, pairs, id_to_row)
+    if protocol == "device":
+        from face_recognition_models_tpu.evaluation.device_protocol import (
+            kfold_verification_device)
+        return kfold_verification_device(sims, pairs[:, 2])
     return kfold_verification(sims, pairs[:, 2], verbose=verbose)
 
 
@@ -65,7 +70,8 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
                          num_classes: int = cfg_lib.CASIA_NUM_CLASSES,
                          output_dir: str = "evaluation_results",
                          image_size: int = 112,
-                         which: str = "final") -> int:
+                         which: str = "final",
+                         protocol: str = "host") -> int:
     """which: 'final' evaluates the end-of-training snapshot; 'min_loss'
     evaluates the best-by-train-loss checkpoint (the reference's
     evaluate_models.py loads <Name>_min_loss.pth)."""
@@ -124,7 +130,8 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
         for bench in benchmarks:
             try:
                 res = evaluate_model_on_benchmark(
-                    embed_fn, eval_data_path, bench, image_size, batch_size)
+                    embed_fn, eval_data_path, bench, image_size, batch_size,
+                    protocol=protocol)
             except FileNotFoundError as e:
                 print(f"[skip] {name} on {bench}: {e}")
                 continue
