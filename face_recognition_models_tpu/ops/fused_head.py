@@ -257,6 +257,90 @@ def _bwd_dw_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
         dw_ref[:] = dw_scr[:]
 
 
+def _bwd_fused_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref,
+                      b_ref, lse_ref, g_lse_ref, g_t_ref,
+                      dx_ref, dt_ref, dscale_ref, dw_ref,
+                      dx_scr, dt_scr, dsc_scr, dw_scr,
+                      *, mode: int, num_classes: int, block_c: int,
+                      clamp_eps, mm_dtype=jnp.float32):
+    """Single-sweep backward: grid (C tiles MAJOR, N tiles minor).
+
+    The W tile stays resident across the inner N sweep, cos/dcos are
+    recomputed ONCE (the two-kernel variant recomputes them twice), dw
+    accumulates per C tile, and dx/dt/dscale accumulate in whole-N scratch
+    (written out on the last C tile). Halves the backward matmul + epilogue
+    work at the cost of O(N*D) VMEM scratch.
+    """
+    jc = pl.program_id(0)
+    jn = pl.program_id(1)
+    num_c = pl.num_programs(0)
+    num_n = pl.num_programs(1)
+    block_n = xn_ref.shape[0]
+    rows = pl.ds(jn * block_n, block_n)
+
+    @pl.when(jc == 0)
+    def _init_rows():
+        dx_scr[rows, :] = jnp.zeros_like(dx_scr[rows, :])
+        dt_scr[rows, :] = jnp.zeros_like(dt_scr[rows, :])
+        dsc_scr[rows, :] = jnp.zeros_like(dsc_scr[rows, :])
+
+    @pl.when(jn == 0)
+    def _init_w():
+        dw_scr[:] = jnp.zeros_like(dw_scr)
+
+    xn = xn_ref[:].astype(mm_dtype)
+    wn = wn_ref[:].astype(mm_dtype)
+    cos_raw = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
+    if clamp_eps is not None:
+        cos = jnp.clip(cos_raw, -1.0 + clamp_eps, 1.0 - clamp_eps)
+        clamp_pass = ((cos_raw >= -1.0 + clamp_eps)
+                      & (cos_raw <= 1.0 - clamp_eps)).astype(jnp.float32)
+    else:
+        cos = cos_raw
+        clamp_pass = 1.0
+
+    labels = label_ref[:]
+    t = t_ref[:]
+    scale = scale_ref[:]
+    a = a_ref[:]
+    b = b_ref[:]
+    lse = lse_ref[:]
+    g_lse = g_lse_ref[:]
+    g_t = g_t_ref[:]
+
+    col0 = jc * block_c
+    col_ids = col0 + jax.lax.broadcasted_iota(jnp.int32, cos.shape, 1)
+    in_range = col_ids < num_classes
+    is_target = col_ids == labels
+
+    h = _h(mode, cos, a, b)
+    logits = scale * jnp.where(is_target, t, h)
+    p = jnp.where(in_range, jnp.exp(logits - lse), 0.0)
+    dlogits = g_lse * p
+    dcos = jnp.where(is_target, 0.0,
+                     dlogits * scale * _h_grad(mode, cos, a, b)) * clamp_pass
+
+    dt_scr[rows, :] += jnp.sum(jnp.where(is_target, dlogits * scale, 0.0),
+                               axis=1, keepdims=True)
+    dsc_scr[rows, :] += jnp.sum(
+        jnp.where(is_target, dlogits * t, dlogits * h), axis=1,
+        keepdims=True)
+    dcos_mm = dcos.astype(mm_dtype)
+    dx_scr[rows, :] += jnp.dot(dcos_mm, wn.T,
+                               preferred_element_type=jnp.float32)
+    dw_scr[:] += jnp.dot(xn.T, dcos_mm, preferred_element_type=jnp.float32)
+
+    @pl.when(jn == num_n - 1)
+    def _finalize_w():
+        dw_ref[:] = dw_scr[:]
+
+    @pl.when(jc == num_c - 1)
+    def _finalize_rows():
+        dx_ref[:] = dx_scr[rows, :]
+        dt_ref[:] = dt_scr[rows, :] + g_t * scale
+        dscale_ref[:] = dsc_scr[rows, :] + g_t * t
+
+
 # ---------------------------------------------------------------------------
 # Host-side wrappers + custom VJP
 # ---------------------------------------------------------------------------
@@ -341,6 +425,9 @@ def _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
     return out, residuals
 
 
+_DX_SCRATCH_BUDGET = 6 * 1024 * 1024  # bytes of VMEM for the dx accumulator
+
+
 def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
                residuals, grads):
     xn, wn, labels, t, tcos, scale, ab, lse = residuals
@@ -349,6 +436,11 @@ def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
     c = wn.shape[1]
     n_pad = -(-n // block_n) * block_n
     c_pad = -(-c // block_c) * block_c
+
+    if n_pad * d * 4 <= _DX_SCRATCH_BUDGET:
+        return _fused_bwd_single_sweep(
+            mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
+            residuals, grads)
 
     xn_p = _pad_to(xn.astype(jnp.float32), n_pad, 0)
     wn_p = _pad_to(wn.astype(jnp.float32), c_pad, 1)
@@ -417,6 +509,67 @@ def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
         scratch_shapes=[pltpu.VMEM((d, block_c), jnp.float32)],
         interpret=interpret,
     )(xn_p, wn_p, labels_p, t_p, scale_p, a_p, b_p, lse_p, g_lse_p)
+
+    return (dx[:n], dw[:, :c], None, dt[:n, 0], None, dscale[:n, 0], None)
+
+
+def _fused_bwd_single_sweep(mode, clamp_eps, block_n, block_c, interpret,
+                            mm_dtype, residuals, grads):
+    """C-major single-recompute backward (see _bwd_fused_kernel)."""
+    xn, wn, labels, t, tcos, scale, ab, lse = residuals
+    g_lse, g_t, _g_higher = grads
+    n, d = xn.shape
+    c = wn.shape[1]
+    n_pad = -(-n // block_n) * block_n
+    c_pad = -(-c // block_c) * block_c
+
+    xn_p = _pad_to(xn.astype(jnp.float32), n_pad, 0)
+    wn_p = _pad_to(wn.astype(jnp.float32), c_pad, 1)
+    labels_p = _pad_to(labels.astype(jnp.int32).reshape(-1, 1), n_pad, 0,
+                       value=c + 1)
+    t_p = _pad_to(_row(t), n_pad, 0)
+    scale_p = _pad_to(_row(scale), n_pad, 0, value=1.0)
+    a_p = _pad_to(_row(ab[:, 0]), n_pad, 0, value=2.0)
+    b_p = _pad_to(_row(ab[:, 1]), n_pad, 0, value=1.0)
+    lse_p = _pad_to(_row(lse), n_pad, 0, value=1.0)
+    g_lse_p = _pad_to(_row(g_lse), n_pad, 0)
+    g_t_p = _pad_to(_row(g_t), n_pad, 0)
+
+    row = pl.BlockSpec((block_n, 1), lambda jc, jn: (jn, 0),
+                       memory_space=pltpu.VMEM)
+    dx, dt, dscale, dw = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, mode=mode, num_classes=c,
+                          block_c=block_c, clamp_eps=clamp_eps,
+                          mm_dtype=mm_dtype),
+        grid=(c_pad // block_c, n_pad // block_n),
+        in_specs=[
+            pl.BlockSpec((block_n, d), lambda jc, jn: (jn, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, block_c), lambda jc, jn: (0, jc),
+                         memory_space=pltpu.VMEM),
+            row, row, row, row, row, row, row, row,
+        ],
+        out_specs=[
+            pl.BlockSpec((block_n, d), lambda jc, jn: (jn, 0),
+                         memory_space=pltpu.VMEM),
+            row, row,
+            pl.BlockSpec((d, block_c), lambda jc, jn: (0, jc),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((d, c_pad), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_pad, d), jnp.float32),
+            pltpu.VMEM((n_pad, 1), jnp.float32),
+            pltpu.VMEM((n_pad, 1), jnp.float32),
+            pltpu.VMEM((d, block_c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xn_p, wn_p, labels_p, t_p, scale_p, a_p, b_p, lse_p, g_lse_p, g_t_p)
 
     return (dx[:n], dw[:, :c], None, dt[:n, 0], None, dscale[:n, 0], None)
 
