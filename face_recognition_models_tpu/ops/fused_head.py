@@ -89,14 +89,19 @@ def _fwd_kernel(xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref,
                 m_scr, l_scr, hi_scr,
                 *, mode: int, num_classes: int, block_c: int,
                 clamp_eps, mm_dtype=jnp.float32):
-    jc = pl.program_id(1)
-    num_c = pl.num_programs(1)
+    """Grid (C tiles MAJOR, N tiles minor): the W tile stays resident across
+    the row sweep; online-softmax state lives in whole-N scratch."""
+    jc = pl.program_id(0)
+    jn = pl.program_id(1)
+    num_c = pl.num_programs(0)
+    block_n = xn_ref.shape[0]
+    rows = pl.ds(jn * block_n, block_n)
 
     @pl.when(jc == 0)
     def _init():
-        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        hi_scr[:] = jnp.zeros_like(hi_scr)
+        m_scr[rows, :] = jnp.full((block_n, 1), _NEG_INF, jnp.float32)
+        l_scr[rows, :] = jnp.zeros((block_n, 1), jnp.float32)
+        hi_scr[rows, :] = jnp.zeros((block_n, 1), jnp.float32)
 
     xn = xn_ref[:].astype(mm_dtype)                    # [BN, D]
     wn = wn_ref[:].astype(mm_dtype)                    # [D, BC]
@@ -120,21 +125,22 @@ def _fwd_kernel(xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref,
     logits = jnp.where(in_range, logits, _NEG_INF)
 
     # pre-margin rank statistic (top-k accuracy): #{j: cos_ij > target_cos}
-    hi_scr[:] += jnp.sum(
+    hi_scr[rows, :] += jnp.sum(
         jnp.where(in_range & (cos > tcos), 1.0, 0.0), axis=1, keepdims=True)
 
     # online logsumexp
-    m_prev = m_scr[:]
+    m_prev = m_scr[rows, :]
     m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-    l_scr[:] = (l_scr[:] * jnp.exp(m_prev - m_new)
-                + jnp.sum(jnp.exp(logits - m_new), axis=1, keepdims=True))
-    m_scr[:] = m_new
+    l_scr[rows, :] = (l_scr[rows, :] * jnp.exp(m_prev - m_new)
+                      + jnp.sum(jnp.exp(logits - m_new), axis=1,
+                                keepdims=True))
+    m_scr[rows, :] = m_new
 
     @pl.when(jc == num_c - 1)
     def _finalize():
-        lse_ref[:] = m_scr[:] + jnp.log(l_scr[:])
+        lse_ref[:] = m_scr[rows, :] + jnp.log(l_scr[rows, :])
         tlogit_ref[:] = scale * t
-        higher_ref[:] = hi_scr[:]
+        higher_ref[:] = hi_scr[rows, :]
 
 
 # ---------------------------------------------------------------------------
@@ -397,8 +403,8 @@ def _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
     a_p = _pad_to(_row(ab[:, 0]), n_pad, 0, value=2.0)
     b_p = _pad_to(_row(ab[:, 1]), n_pad, 0, value=1.0)
 
-    grid = (n_pad // block_n, c_pad // block_c)
-    row_spec = pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
+    grid = (c_pad // block_c, n_pad // block_n)  # C major, N minor
+    row_spec = pl.BlockSpec((block_n, 1), lambda jc, jn: (jn, 0),
                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, mode=mode, num_classes=c,
                                block_c=block_c, clamp_eps=clamp_eps,
@@ -407,15 +413,15 @@ def _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((block_n, d), lambda i, j: (i, 0),
+            pl.BlockSpec((block_n, d), lambda jc, jn: (jn, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block_c), lambda i, j: (0, j),
+            pl.BlockSpec((d, block_c), lambda jc, jn: (0, jc),
                          memory_space=pltpu.VMEM),
             row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
         ],
         out_specs=[row_spec, row_spec, row_spec],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)] * 3,
-        scratch_shapes=[pltpu.VMEM((block_n, 1), jnp.float32)] * 3,
+        scratch_shapes=[pltpu.VMEM((n_pad, 1), jnp.float32)] * 3,
         interpret=interpret,
     )(xn_p, wn_p, labels_p, t_p, tcos_p, scale_p, a_p, b_p)
 
