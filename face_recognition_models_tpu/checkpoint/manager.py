@@ -113,10 +113,15 @@ class CheckpointManager:
 
         if mode == "min_loss":
             # min_loss may predate newer epoch checkpoints: delete them
-            # (model_utils.py:112-117).
+            # (model_utils.py:112-117) — but only once the best snapshot is
+            # confirmed to exist, so a missing best never destroys the only
+            # resumable state (the reference deletes unconditionally; when
+            # the snapshot exists the behavior is identical).
+            if not os.path.isdir(self._best_dir):
+                return None, 1, float("inf")
             for e in self._list_epochs():
                 shutil.rmtree(self._epoch_dir(e))
-            target = self._best_dir if os.path.isdir(self._best_dir) else None
+            target = self._best_dir
         else:
             epochs = self._list_epochs()
             target = self._epoch_dir(epochs[-1]) if epochs else None

@@ -370,15 +370,18 @@ def fused_margin_ce(xn, wn, labels, t, tcos, scale, ab,
                     mode: int, clamp_eps=None, block_n: int = 128,
                     block_c: int = 512, interpret: bool = False,
                     mm_dtype=jnp.float32):
-    """mm_dtype=jnp.bfloat16 runs the three matmul passes on the MXU in
-    bf16 (fp32 accumulate) — ~2x the matmul rate at ~1e-2 logit error;
-    keep fp32 (default) for reference parity."""
-    """Returns (lse [N], target_logit [N], higher [N]).
+    """Fused margin + cross-entropy statistics over class tiles.
+
+    Returns (lse [N], target_logit [N], higher [N]).
 
     xn [N, D] row-normalized embeddings; wn [D, C] column-normalized class
     weights; labels [N] int32 (all valid); t [N] per-row target logit value
     (pre-scale); tcos [N] pre-margin target cosine; scale [N]; ab [N, 2]
     margin-mode params.
+
+    mm_dtype=jnp.bfloat16 runs the three matmul passes on the MXU in bf16
+    (fp32 accumulate) — ~2x the matmul rate at ~1e-2 logit error; keep fp32
+    (default) for reference parity.
     """
     out, _ = _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps,
                         block_n, block_c, interpret, mm_dtype)

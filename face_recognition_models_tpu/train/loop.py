@@ -54,11 +54,19 @@ class FitResult:
 def degrade_images(images: jnp.ndarray) -> jnp.ndarray:
     """Quality-degraded view for QAFace's `minput` (fixes the reference's
     broken dual-input plumbing, criterion.py:1543-1552): 2x down/up bilinear
-    resample on device."""
+    resample on device.
+
+    Preserves the input dtype: a uint8 batch comes back uint8 (rounded, still
+    in [0, 255]) so the train step applies the exact same uint8->normalized
+    transform to both views; a float batch (already normalized) stays float.
+    """
     n, h, w, c = images.shape
     f32 = images.astype(jnp.float32)
     small = jax.image.resize(f32, (n, h // 2, w // 2, c), "bilinear")
-    return jax.image.resize(small, (n, h, w, c), "bilinear")
+    out = jax.image.resize(small, (n, h, w, c), "bilinear")
+    if images.dtype == jnp.uint8:
+        out = jnp.clip(jnp.round(out), 0, 255).astype(jnp.uint8)
+    return out
 
 
 def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
@@ -176,9 +184,7 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             data_t = time.time() - end
             batch = (put(images), put(labels))
             if head.requires_minput:
-                minput = degrade_images(batch[0].astype(jnp.float32)
-                                        if images.dtype != np.uint8
-                                        else batch[0])
+                minput = degrade_images(batch[0])
                 state, metrics = jit_step(state, batch[0], batch[1], minput)
             else:
                 state, metrics = jit_step(state, batch[0], batch[1])

@@ -28,7 +28,12 @@ Schedule = Callable[[jnp.ndarray], jnp.ndarray]
 SCHEDULES = ("step", "multistep", "customstep", "cosine", "exponential",
              "warmup_cosine", "none")
 
-SCHEDULER_DICT = {i + 1: name for i, name in enumerate(SCHEDULES)}
+# Numeric ids match the reference's ACTIVE entries only (schedulers.py:17-31:
+# commented-out configs don't get ids), so integer configs ported from the
+# reference select the same schedule. The extra schedules (exponential,
+# warmup_cosine) are addressable by name only.
+SCHEDULER_DICT = {1: "step", 2: "multistep", 3: "customstep", 4: "cosine",
+                  5: "none"}
 
 
 def _epoch_of(count, steps_per_epoch):
@@ -49,8 +54,14 @@ def customstep_schedule(lr0: float, steps: Sequence[int], ratio: float,
 def get_schedule(cfg: ScheduleConfig, learning_rate: float,
                  steps_per_epoch: int, num_epochs: int = None
                  ) -> Union[Schedule, float]:
-    name = (SCHEDULER_DICT[cfg.name] if isinstance(cfg.name, int)
-            else cfg.name.lower())
+    if isinstance(cfg.name, int):
+        if cfg.name not in SCHEDULER_DICT:
+            raise ValueError(
+                f"Invalid scheduler id: {cfg.name}. Numeric ids follow the "
+                f"reference table {SCHEDULER_DICT}; use names for the rest.")
+        name = SCHEDULER_DICT[cfg.name]
+    else:
+        name = cfg.name.lower()
     lr0 = learning_rate
     spe = max(1, steps_per_epoch)
 

@@ -90,3 +90,14 @@ def test_final_save_restore(tmp_path):
     restored = mgr.restore_final(params)
     np.testing.assert_array_equal(np.asarray(restored["w"]),
                                   np.asarray(params["w"]))
+
+
+def test_min_loss_resume_without_best_preserves_epochs(tmp_path):
+    """ADVICE r1: a missing min_loss snapshot must not destroy the only
+    resumable state — epoch checkpoints survive and (None, 1, inf) returns."""
+    mgr = CheckpointManager(str(tmp_path), "arc")
+    mgr.save(_state(2), epoch=2, train_loss=6.0)
+    restored, start_epoch, loss = mgr.restore(_state(), mode="min_loss")
+    assert restored is None and start_epoch == 1 and loss == float("inf")
+    leftover = [n for n in os.listdir(tmp_path) if n.startswith("epoch_")]
+    assert leftover == ["epoch_2"]

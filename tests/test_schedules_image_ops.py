@@ -86,3 +86,34 @@ def test_center_crop_resize():
     sq = jnp.arange(2 * 8 * 8 * 3, dtype=jnp.float32).reshape(2, 8, 8, 3)
     np.testing.assert_array_equal(np.asarray(center_crop_resize(sq, 8)),
                                   np.asarray(sq))
+
+
+def test_numeric_scheduler_ids_match_reference():
+    """Reference SCHEDULER_DICT active keys (schedulers.py:17-31):
+    1=step 2=multistep 3=customstep 4=cosine 5=none."""
+    from face_recognition_models_tpu.train.schedules import SCHEDULER_DICT
+    assert SCHEDULER_DICT == {1: "step", 2: "multistep", 3: "customstep",
+                              4: "cosine", 5: "none"}
+    # id 5 selects a constant LR, not the (name-only) exponential schedule
+    sched = get_schedule(ScheduleConfig(name=5), 0.1, steps_per_epoch=10)
+    assert sched == 0.1
+    with pytest.raises(ValueError):
+        get_schedule(ScheduleConfig(name=6), 0.1, steps_per_epoch=10)
+
+
+def test_degrade_images_preserves_uint8_contract():
+    """ADVICE r1 (medium): the QAFace degraded view of a uint8 batch must
+    come back uint8 in [0, 255] so the train step normalizes both views
+    identically (step.py normalizes only uint8 inputs)."""
+    from face_recognition_models_tpu.train.loop import degrade_images
+    rng = np.random.RandomState(0)
+    u8 = jnp.asarray(rng.randint(0, 256, (2, 16, 16, 3), dtype=np.uint8))
+    out = degrade_images(u8)
+    assert out.dtype == jnp.uint8
+    # degraded view is a smoothed version, not constant
+    assert float(jnp.std(out.astype(jnp.float32))) > 1.0
+    # float (already-normalized) batches stay float and in range
+    f32 = (u8.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    outf = degrade_images(f32)
+    assert outf.dtype == jnp.float32
+    assert float(jnp.max(jnp.abs(outf))) <= 1.0 + 1e-5
