@@ -35,6 +35,10 @@ def _add_train_parser(sub):
     p.add_argument("--print_freq", type=int, default=100)
     p.add_argument("--continue_train", choices=["min_loss", "latest"],
                    help="resume from best or latest checkpoint")
+    p.add_argument("--pretrained", default=None, metavar="STATE_DICT.pth",
+                   help="torch backbone state_dict to initialize from "
+                        "(the reference trains from ImageNet-pretrained "
+                        "torchvision weights; resnet18/resnet50)")
     p.add_argument("--dataset-path", default=os.environ.get("DATASET_PATH", ""))
     p.add_argument("--working-path", default=os.environ.get("WORKING_PATH",
                                                             "./working"))
@@ -78,6 +82,7 @@ def cmd_train(args) -> int:
         lambda_g=args.lambda_g, print_freq=args.print_freq,
         seed=args.seed, working_path=args.working_path,
         model_name=model_name, continue_train=args.continue_train,
+        pretrained_path=args.pretrained,
         use_pallas_head=args.use_pallas_head,
         optimizer=cfg_lib.OptimizerConfig(learning_rate=args.learning_rate),
         mesh=cfg_lib.MeshConfig(data=args.mesh_data, model=args.mesh_model),

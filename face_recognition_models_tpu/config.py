@@ -307,6 +307,11 @@ class TrainConfig:
     working_path: str = ""
     model_name: str = ""
     continue_train: Optional[str] = None  # None | 'latest' | 'min_loss'
+    # Path to a torch backbone state_dict (.pth) to initialize from — the
+    # reference always fine-tunes from ImageNet-pretrained torchvision
+    # weights (backbones.py:12-26); with zero egress here the weights must
+    # be provided as a file.
+    pretrained_path: Optional[str] = None
     keep_checkpoints: int = 3      # rotation keep-3 (model_utils.py:72-78)
     use_pallas_head: bool = False  # fused Pallas margin kernel (TPU only)
     optimizer: OptimizerConfig = OptimizerConfig()

@@ -46,6 +46,16 @@ def create_train_state(cfg: TrainConfig, head_cfg, tx: optax.GradientTransformat
     variables = backbone.init({"params": k_model, "dropout": k_model},
                               dummy, train=False)
 
+    if cfg.pretrained_path:
+        # ImageNet-pretrained init (reference backbones.py:12-26) from a
+        # torch state_dict on disk.
+        from face_recognition_models_tpu.utils.torch_port import (
+            load_pretrained_backbone)
+        ported_params, ported_stats = load_pretrained_backbone(
+            cfg.pretrained_path, cfg.backbone, variables)
+        variables = {"params": jax.tree.map(jnp.asarray, ported_params),
+                     "batch_stats": jax.tree.map(jnp.asarray, ported_stats)}
+
     head = get_head(cfg.head)
     kernel = head.init_kernel(k_kernel, head_cfg)
     head_state = head.init_state(head_cfg)

@@ -92,6 +92,37 @@ def port_torchvision_resnet(state_dict: Dict, variables: Dict,
     return params, stats
 
 
+_RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
+
+
+def load_pretrained_backbone(path: str, backbone_name: str, variables: Dict
+                             ) -> Tuple[Dict, Dict]:
+    """Load a torch `state_dict` file and port it onto `variables`.
+
+    This is the `face train --pretrained <file.pth>` entry point, the
+    equivalent of the reference's ImageNet-pretrained init
+    (backbones.py:12-26). Accepts either a bare state_dict or a checkpoint
+    dict wrapping one under 'state_dict'/'model'. The embedding `fc` layer
+    is only ported when its output dim matches (torchvision classifiers
+    don't; the reference swaps them for a fresh 512-d layer too).
+    """
+    name = backbone_name.lower()
+    if name not in _RESNET_STAGES:
+        raise ValueError(
+            f"--pretrained supports {sorted(_RESNET_STAGES)}; got "
+            f"'{backbone_name}' (port efficientnet/mobilenet weights "
+            "manually or train from scratch)")
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    for wrapper in ("state_dict", "model"):
+        if isinstance(sd, dict) and wrapper in sd and not hasattr(
+                sd[wrapper], "shape"):
+            sd = sd[wrapper]
+    return port_torchvision_resnet(sd, variables, _RESNET_STAGES[name],
+                                   port_fc=True)
+
+
 def _check_congruent(ref, got, what):
     import jax
 
