@@ -36,7 +36,10 @@ from face_recognition_models_tpu.train.step import (
     make_eval_step,
     make_train_step,
 )
-from face_recognition_models_tpu.utils.logging import AverageMeter, ProgressMeter
+from face_recognition_models_tpu.utils.logging import (
+    TRAIN_COLUMNS,
+    MetricTracker,
+)
 
 
 @dataclass
@@ -169,13 +172,8 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
     t_train_start = time.time()
     global_step = (start_epoch - 1) * steps_per_epoch
     for epoch in range(start_epoch, cfg.epochs + start_epoch):
-        meters = {k: AverageMeter(n, f) for k, n, f in [
-            ("batch_time", "Time", ":6.3f"), ("data_time", "Data", ":6.3f"),
-            ("throughput", "img/s", ":.0f"), ("loss", "Loss", ":.3f"),
-            ("loss_id", "L_ID", ":.3f"), ("loss_mag", "L_mag", ":.6f"),
-            ("acc1", "Acc@1", ":6.2f"), ("acc5", "Acc@5", ":6.2f")]}
-        progress = ProgressMeter(
-            steps_per_epoch, list(meters.values()),
+        tracker = MetricTracker(
+            steps_per_epoch, TRAIN_COLUMNS,
             prefix=f"Epoch: [{epoch}/{cfg.epochs + start_epoch - 1}]")
 
         losses = []
@@ -208,12 +206,10 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             if i % cfg.print_freq == 0:
                 # sync point: materialize this step's metrics
                 m = {k: float(v) for k, v in metrics.items()}
-                meters["batch_time"].update(step_t, 1)
-                meters["data_time"].update(data_t, 1)
-                meters["throughput"].update(bsz / max(step_t, 1e-9), 1)
-                for k in ("loss", "loss_id", "loss_mag", "acc1", "acc5"):
-                    meters[k].update(m[k], bsz)
-                progress.display(i)
+                tracker.observe({"batch_time": step_t, "data_time": data_t,
+                                 "throughput": bsz / max(step_t, 1e-9)})
+                tracker.observe(m, weight=bsz)
+                print(tracker.line(i))
                 if logger is not None:
                     logger.log({**m, "epoch": epoch}, step=global_step)
 

@@ -1,8 +1,7 @@
 from face_recognition_models_tpu.utils.logging import (
-    AverageMeter,
-    ProgressMeter,
+    MetricTracker,
     Tee,
 )
 from face_recognition_models_tpu.utils.experiment import ExperimentLogger
 
-__all__ = ["AverageMeter", "ProgressMeter", "Tee", "ExperimentLogger"]
+__all__ = ["MetricTracker", "Tee", "ExperimentLogger"]

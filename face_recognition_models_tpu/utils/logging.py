@@ -1,76 +1,115 @@
-"""Console/file logging utilities.
+"""Console/file metric reporting for the training loop.
 
-Same surface as the reference's utils/utils.py: Tee (stdout + logfile),
-AverageMeter (val/avg/sum/count), ProgressMeter (per-step console lines).
+Capability parity with the reference's L6 observability layer (stdout tee to
+log/<model>.txt, running averages, per-step progress lines — reference
+utils/utils.py, model_utils.py:149-162) but designed around this framework's
+async metric fetch: the loop keeps device scalars as futures and only hands
+materialized floats to `MetricTracker.observe` at print_freq boundaries, so
+nothing in this module ever forces a device sync or holds jax arrays.
 """
 
 from __future__ import annotations
 
-import sys
-from typing import IO, List, Sequence, Union
+import io
+from typing import Dict, Iterable, Mapping, Sequence, Tuple
 
 
-class Tee:
-    """Write-through to several files (utils.py:3-17); use with
-    contextlib.redirect_stdout to mirror training logs to log/<model>.txt."""
+class Tee(io.TextIOBase):
+    """A text stream fanning writes out to several underlying streams.
 
-    def __init__(self, *files: IO):
-        self.files = files
-        self.primary = files[0] if files else sys.stdout
+    Used with `contextlib.redirect_stdout(Tee(sys.stdout, logfile))` so every
+    training line reaches both the console and the per-model log file
+    (capability of reference arcface.py:17-18).
+    """
 
-    def write(self, text: str):
-        for f in self.files:
-            f.write(text)
+    def __init__(self, *streams):
+        super().__init__()
+        self._streams = tuple(streams)
 
-    def flush(self):
-        for f in self.files:
-            f.flush()
+    def write(self, text: str) -> int:
+        for stream in self._streams:
+            stream.write(text)
+        return len(text)
 
-    def fileno(self):
-        return self.primary.fileno()
+    def flush(self) -> None:
+        for stream in self._streams:
+            stream.flush()
 
+    def writable(self) -> bool:
+        return True
 
-class AverageMeter:
-    """Running value/average tracker (utils.py:21-41)."""
+    def isatty(self) -> bool:
+        return any(getattr(s, "isatty", lambda: False)()
+                   for s in self._streams)
 
-    def __init__(self, name: str, fmt: str = ":f"):
-        self.name = name
-        self.fmt = fmt
-        self.reset()
-
-    def reset(self):
-        self.val = 0.0
-        self.avg = 0.0
-        self.sum = 0.0
-        self.count = 0
-
-    def update(self, val: float, n: int = 1):
-        self.val = val
-        self.sum += val * n
-        self.count += n
-        self.avg = self.sum / self.count
-
-    def __str__(self):
-        fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
-        return fmtstr.format(**self.__dict__)
+    def fileno(self) -> int:
+        # Some libraries (tqdm, subprocess plumbing) probe stdout's fd; hand
+        # them the first stream that has one.
+        for stream in self._streams:
+            fn = getattr(stream, "fileno", None)
+            if fn is not None:
+                try:
+                    return fn()
+                except (OSError, io.UnsupportedOperation):
+                    continue
+        raise io.UnsupportedOperation("no underlying stream has a fileno")
 
 
-class ProgressMeter:
-    """Formatted per-step progress lines (utils.py:43-56)."""
+class MetricTracker:
+    """Weighted running averages over an ordered metric spec, with one-line
+    progress rendering.
 
-    def __init__(self, num_batches: int, meters: Sequence[Union[AverageMeter, str]],
-                 prefix: str = ""):
-        self.batch_fmtstr = self._get_batch_fmtstr(num_batches)
-        self.meters = meters
+    spec: (key, label, format_spec) triples, e.g. ("loss", "Loss", ".3f").
+    `observe` folds in one step's values; `line(step)` renders
+    `prefix [step/total] Label last|avg ...` for the console/logfile;
+    `averages()` exposes the epoch means for checkpoint bookkeeping.
+    """
+
+    def __init__(self, total_steps: int,
+                 spec: Iterable[Tuple[str, str, str]], prefix: str = ""):
+        self.total_steps = total_steps
         self.prefix = prefix
+        self._spec = [tuple(entry) for entry in spec]
+        self._last: Dict[str, float] = {}
+        self._sum: Dict[str, float] = {}
+        self._weight: Dict[str, float] = {}
 
-    def display(self, batch: int):
-        entries = [self.prefix + self.batch_fmtstr.format(batch)]
-        entries += [str(m) for m in self.meters]
-        print("\t".join(entries))
+    def observe(self, values: Mapping[str, float], weight: float = 1.0):
+        """Fold one step's (already materialized) metric floats in. Keys not
+        in the spec are accepted and tracked, they just don't render."""
+        for key, value in values.items():
+            value = float(value)
+            self._last[key] = value
+            self._sum[key] = self._sum.get(key, 0.0) + value * weight
+            self._weight[key] = self._weight.get(key, 0.0) + weight
 
-    @staticmethod
-    def _get_batch_fmtstr(num_batches: int) -> str:
-        num_digits = len(str(num_batches))
-        fmt = "{:" + str(num_digits) + "d}"
-        return "[" + fmt + "/" + fmt.format(num_batches) + "]"
+    def average(self, key: str) -> float:
+        w = self._weight.get(key, 0.0)
+        return self._sum.get(key, 0.0) / w if w else 0.0
+
+    def averages(self) -> Dict[str, float]:
+        return {k: self.average(k) for k in self._weight}
+
+    def line(self, step: int) -> str:
+        width = len(str(self.total_steps))
+        parts = [f"{self.prefix}[{step:{width}d}/{self.total_steps}]"]
+        for key, label, fmt in self._spec:
+            if key not in self._last:
+                continue
+            parts.append(f"{label} {self._last[key]:{fmt}}"
+                         f" ({self.average(key):{fmt}})")
+        return "\t".join(parts)
+
+
+# The reference's train loop renders these columns (model_utils.py:149-156);
+# keys match the train step's metrics dict plus the loop's timing entries.
+TRAIN_COLUMNS: Sequence[Tuple[str, str, str]] = (
+    ("batch_time", "Time", "6.3f"),
+    ("data_time", "Data", "6.3f"),
+    ("throughput", "img/s", ".0f"),
+    ("loss", "Loss", ".3f"),
+    ("loss_id", "L_ID", ".3f"),
+    ("loss_mag", "L_mag", ".6f"),
+    ("acc1", "Acc@1", "6.2f"),
+    ("acc5", "Acc@5", "6.2f"),
+)
