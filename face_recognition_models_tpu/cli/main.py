@@ -49,8 +49,17 @@ def _add_train_parser(sub):
                    default=cfg_lib.CASIA_NUM_CLASSES)
     p.add_argument("--mesh-data", type=int, default=-1)
     p.add_argument("--mesh-model", type=int, default=1)
+    p.add_argument("--head-path", choices=["auto", "fused", "jnp"],
+                   default="auto",
+                   help="margin+CE implementation: 'fused' forces the "
+                        "Pallas kernel (TPU; 9 heads), 'jnp' forces XLA, "
+                        "'auto' (default) picks per head/class-count from "
+                        "the measured win table")
     p.add_argument("--use-pallas-head", action="store_true",
-                   help="fused Pallas margin+CE kernel (TPU; 9 heads)")
+                   help="deprecated alias for --head-path fused")
+    p.add_argument("--scan-steps", type=int, default=1,
+                   help="run K train steps per dispatch via lax.scan "
+                        "(amortizes host/tunnel latency; 1 = off)")
     p.add_argument("--eval-after", action="store_true",
                    help="run benchmark verification after training (the "
                         "reference README claims this but never does it)")
@@ -83,7 +92,10 @@ def cmd_train(args) -> int:
         seed=args.seed, working_path=args.working_path,
         model_name=model_name, continue_train=args.continue_train,
         pretrained_path=args.pretrained,
-        use_pallas_head=args.use_pallas_head,
+        use_pallas_head=(True if args.use_pallas_head
+                         else {"auto": "auto", "fused": True,
+                               "jnp": False}[args.head_path]),
+        scan_steps=args.scan_steps,
         optimizer=cfg_lib.OptimizerConfig(learning_rate=args.learning_rate),
         mesh=cfg_lib.MeshConfig(data=args.mesh_data, model=args.mesh_model),
         data=cfg_lib.DataConfig(dataset_path=args.dataset_path,

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 # ---------------------------------------------------------------------------
 # Core constants (reference: config.py:13, arcface.py:25)
@@ -313,7 +313,14 @@ class TrainConfig:
     # be provided as a file.
     pretrained_path: Optional[str] = None
     keep_checkpoints: int = 3      # rotation keep-3 (model_utils.py:72-78)
-    use_pallas_head: bool = False  # fused Pallas margin kernel (TPU only)
+    # Fused Pallas margin+CE kernel: True forces it, False forces the XLA
+    # path, "auto" dispatches per (head, num_classes) from the measured
+    # win table (TPU only; always False elsewhere).
+    use_pallas_head: Any = "auto"
+    # Device-side step batching: run `scan_steps` train steps as one
+    # lax.scan inside a single dispatch (amortizes per-step host/tunnel
+    # latency, like bench.py's eval loop). 1 = one dispatch per step.
+    scan_steps: int = 1
     optimizer: OptimizerConfig = OptimizerConfig()
     schedule: ScheduleConfig = ScheduleConfig()
     mesh: MeshConfig = MeshConfig()

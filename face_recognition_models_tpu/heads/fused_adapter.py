@@ -25,19 +25,48 @@ from face_recognition_models_tpu.ops.fused_head import (
     MODE_IDENTITY,
     MODE_MV,
     fused_margin_ce,
+    fused_margin_ce_mem,
 )
 from face_recognition_models_tpu.ops.normalize import (
     feature_norms,
     l2_normalize,
 )
 
+# Heads whose non-target cosine blends a per-class memory matmul; they use
+# fused_margin_ce_mem (second matmul fused into the class-tile sweep).
+MEM_FUSED_HEADS = ("vpl_arcface", "qaface")
 FUSED_HEADS = ("cosface", "arcface", "sphereface", "mv_softmax",
                "curricularface", "adaface", "elastic_cosface",
-               "elastic_arcface", "magface")
+               "elastic_arcface", "magface") + MEM_FUSED_HEADS
 
 
 def fused_supported(name: str) -> bool:
     return name in FUSED_HEADS
+
+
+# Heads where the fused kernel beat XLA at CASIA scale (N=512, C=10,575) in
+# hardware measurements (PERF.md): arc 1.66x, sphere 1.33x, ada 1.24x,
+# curricular 1.16x, cos 1.11x, mag 1.06x, vpl 1.40x, qaface 1.47x.
+# mv_softmax (0.92x) and the elastic heads (~0.9-1.0x) only win at larger C.
+_FUSED_FASTER_SMALL_C = frozenset((
+    "arcface", "cosface", "curricularface", "adaface", "magface",
+    "sphereface", "vpl_arcface", "qaface"))
+# Above this class count the fused path wins for every head — and XLA's
+# multiple [N, C] fp32 buffers start to dominate memory (256 MB each at
+# C=131k), so the O(N) kernel is strictly better.
+_BIG_C = 32768
+
+
+def fused_wins(name: str, num_classes: int, platform: str = None) -> bool:
+    """Per-(head, C) dispatch heuristic from the v5e measurements: should
+    the fused Pallas kernel replace the XLA jnp head? Only ever True on TPU
+    (the kernel would run interpreted anywhere else)."""
+    if platform is None:
+        import jax
+        platform = jax.devices()[0].platform
+    if platform != "tpu" or not fused_supported(name):
+        return False
+    return num_classes >= _BIG_C or name in _FUSED_FASTER_SMALL_C
 
 
 class FusedApplyOut(NamedTuple):
@@ -185,7 +214,104 @@ def _row_params(cfg, tcos_raw, norms, state, rng) -> _RowParams:
     raise ValueError(f"head '{name}' is not fusable")
 
 
-def fused_apply(cfg, kernel, feats, labels, state, rng=None,
+def _arc_t(tcos, m_val: float, easy_margin: bool):
+    """ArcFace target-logit scalar (criterion.py:281-295) on a clipped
+    target cosine [N]."""
+    sine = jnp.sqrt(jnp.clip(1.0 - tcos ** 2, 1e-9, 1.0))
+    phi = tcos * math.cos(m_val) - sine * math.sin(m_val)
+    if easy_margin:
+        return jnp.where(tcos > 0, phi, tcos)
+    th = math.cos(math.pi - m_val)
+    mm = math.sin(math.pi - m_val) * m_val
+    return jnp.where(tcos > th, phi, tcos - mm)
+
+
+class _MemRowParams(NamedTuple):
+    rp: _RowParams
+    memn: jnp.ndarray   # [D, C] column-normalized memory prototypes
+    lam: jnp.ndarray    # [C] per-class blend weight (0 => no blend)
+
+
+def _mem_row_params(cfg, kernel, xn, wn, feats, labels, tcos_raw, norms,
+                    state, minput) -> _MemRowParams:
+    """VPL-ArcFace / QAFace reduction: identical math to margins.py
+    (_vpl_arcface_apply / _qaface_apply) with the [N, C] blend deferred to
+    the kernel as (memn, lam)."""
+    name = cfg.name
+    n = tcos_raw.shape[0]
+    valid = labels >= 0
+    zeros2 = jnp.zeros((n, 2), jnp.float32)
+    zero = jnp.float32(0.0)
+    feats = feats.astype(jnp.float32)
+
+    if name == "vpl_arcface":
+        new_mem, new_life, any_valid = m._class_mean_update(
+            jax.lax.stop_gradient(feats), labels, valid, state.mem,
+            state.life, cfg.delta)
+        use_mem = jnp.logical_and(state.training_flag, any_valid)
+        new_mem = jnp.where(use_mem, new_mem, state.mem)
+        new_life = jnp.where(use_mem, new_life, state.life)
+        active = (new_life > 0).astype(jnp.float32)          # [C]
+        # lam==0 reproduces the `where(use_mem, blended, cos_w)` select
+        lam = jnp.where(use_mem, cfg.lamda * active, 0.0)
+        memn = l2_normalize(new_mem, axis=1).T               # [D, C]
+        # target column: blend toward 1.0 (criterion.py:724-726)
+        lam_t = jnp.take(lam, jnp.where(valid, labels, 0))
+        cosine2 = (1.0 - lam_t) * tcos_raw + lam_t * 1.0
+        tcos = jnp.clip(cosine2, -1.0 + cfg.eps, 1.0 - cfg.eps)
+        t = _arc_t(tcos, cfg.m, cfg.easy_margin)
+        new_state = m.VPLArcFaceState(mem=new_mem, life=new_life,
+                                      training_flag=state.training_flag)
+        rp = _RowParams(t, tcos, jnp.full((n,), cfg.s), zeros2,
+                        MODE_IDENTITY, cfg.eps, zero, new_state)
+        return _MemRowParams(rp, memn, lam)
+
+    if name == "qaface":
+        if minput is None:
+            minput = feats
+        minput = minput.astype(jnp.float32)
+        mag = feature_norms(minput)                          # [N, 1]
+        mag_mean, mag_std = jnp.mean(mag), jnp.std(mag, ddof=1)
+        first = state.muy == 0.0
+        new_muy = jnp.where(first, mag_mean,
+                            cfg.alpha * state.muy
+                            + (1 - cfg.alpha) * mag_mean)
+        new_std = jnp.where(first, mag_std,
+                            cfg.alpha * state.std + (1 - cfg.alpha) * mag_std)
+        z = (mag - new_muy) / (new_std + 1e-6)
+        f = jnp.where(jnp.abs(z) < cfg.tto, jnp.exp(-z), 0.0)
+        injection = f * minput / (mag + 1e-6)                # [N, D]
+
+        new_mem, new_life, any_valid = m._class_mean_update(
+            jax.lax.stop_gradient(injection), labels, valid, state.mem,
+            state.life, cfg.delta)
+        use_mem = jnp.logical_and(state.training_flag, any_valid)
+        new_mem = jnp.where(use_mem, new_mem, state.mem)
+        new_life = jnp.where(use_mem, new_life, state.life)
+        new_muy = jnp.where(state.training_flag, new_muy, state.muy)
+        new_std = jnp.where(state.training_flag, new_std, state.std)
+
+        active = (new_life > 0).astype(jnp.float32)
+        lam = jnp.where(use_mem, active, 0.0)  # full replacement (:1476)
+        memn = l2_normalize(new_mem, axis=1).T
+        # target: cosine against (weight column + injection) (:1479-1482)
+        target_w = jnp.take(kernel.astype(jnp.float32),
+                            jnp.where(valid, labels, 0), axis=1).T + injection
+        cosine2 = jnp.sum(xn * l2_normalize(target_w, axis=1), axis=1)
+        tcos_t = jnp.where(use_mem, cosine2, tcos_raw)
+        tcos = jnp.clip(tcos_t, -1.0 + cfg.eps, 1.0 - cfg.eps)
+        t = _arc_t(tcos, cfg.m, cfg.easy_margin)
+        new_state = m.QAFaceState(mem=new_mem, life=new_life, muy=new_muy,
+                                  std=new_std,
+                                  training_flag=state.training_flag)
+        rp = _RowParams(t, tcos, jnp.full((n,), cfg.s), zeros2,
+                        MODE_IDENTITY, cfg.eps, zero, new_state)
+        return _MemRowParams(rp, memn, lam)
+
+    raise ValueError(f"head '{name}' is not a memory-blended head")
+
+
+def fused_apply(cfg, kernel, feats, labels, state, rng=None, minput=None,
                 block_n: int = 128, block_c: int = 512,
                 interpret: bool = False, mesh=None) -> FusedApplyOut:
     """Fused-path equivalent of head.apply + CE + top-k metrics.
@@ -193,7 +319,9 @@ def fused_apply(cfg, kernel, feats, labels, state, rng=None,
     All labels must be valid (>= 0). Returns the mean CE directly — the
     [N, C] logits are never materialized. With `mesh` (model axis > 1) the
     kernel runs per class shard via shard_map with cross-shard logsumexp
-    (parallel/sharded_fused.py).
+    (parallel/sharded_fused.py). Memory-blended heads (VPL/QAFace) fuse
+    their second matmul into the same sweep; QAFace takes the degraded view
+    through `minput`.
     """
     feats = feats.astype(jnp.float32)
     xn = l2_normalize(feats, axis=1)
@@ -204,14 +332,25 @@ def fused_apply(cfg, kernel, feats, labels, state, rng=None,
     wn_t = jnp.take(wn, labels, axis=1).T           # [N, D]
     tcos_raw = jnp.sum(xn * wn_t, axis=1)           # [N]
 
-    rp = _row_params(cfg, tcos_raw, norms, state, rng)
+    memn = lam = None
+    if cfg.name in MEM_FUSED_HEADS:
+        mrp = _mem_row_params(cfg, kernel, xn, wn, feats, labels, tcos_raw,
+                              norms, state, minput)
+        rp, memn, lam = mrp.rp, mrp.memn, mrp.lam
+    else:
+        rp = _row_params(cfg, tcos_raw, norms, state, rng)
+
     if mesh is not None and mesh.shape.get("model", 1) > 1:
         from face_recognition_models_tpu.parallel.sharded_fused import (
             sharded_fused_margin_ce)
         out = sharded_fused_margin_ce(mesh, xn, wn, labels, rp.t, rp.tcos,
                                       rp.scale, rp.ab, rp.mode,
                                       rp.clamp_eps, block_n, block_c,
-                                      interpret)
+                                      interpret, memn=memn, lam=lam)
+    elif memn is not None:
+        out = fused_margin_ce_mem(xn, wn, memn, lam, labels, rp.t, rp.tcos,
+                                  rp.scale, rp.ab, rp.mode, rp.clamp_eps,
+                                  block_n, block_c, interpret)
     else:
         out = fused_margin_ce(xn, wn, labels, rp.t, rp.tcos, rp.scale,
                               rp.ab, rp.mode, rp.clamp_eps, block_n,

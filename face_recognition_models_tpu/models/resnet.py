@@ -14,6 +14,7 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Callable, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -81,6 +82,43 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class _Conv1Param(nn.Module):
+    """Bare [7, 7, 3, F] kernel parameter named exactly like nn.Conv's, so
+    the space-to-depth stem keeps the conv7 param tree (checkpoint- and
+    torch-port-compatible)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, self.features), jnp.float32)
+
+
+def _space_to_depth_stem(x, kernel, dtype):
+    """The 7x7/s2 stem conv re-expressed on a 2x2 space-to-depth input.
+
+    A 3-channel conv wastes the MXU's 128-lane input dimension (3 of 128
+    lanes used); folding 2x2 pixel blocks into channels gives a 12-channel,
+    4x4/s1 conv that is numerically identical:
+      y[i,j] = sum_{dh,dw,c} x[2i+dh-3, 2j+dw-3, c] W[dh,dw,c]
+    with u = 2p+a (a = parity) becomes a 4-tap conv over p with kernel
+    W'[k,l,(a,b,c)] = W[2k+a-1, 2l+b-1, c] and padding (2, 1).
+    """
+    n, h, w, _ = x.shape
+    f = kernel.shape[-1]
+    xs = x.reshape(n, h // 2, 2, w // 2, 2, 3)
+    xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 12)
+    # pad top/left so index dh = 2k+a-1 lands on a (4, 2)-factorable axis
+    wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w2 = wp.reshape(4, 2, 4, 2, 3, f).transpose(0, 2, 1, 3, 4, 5)
+    w2 = w2.reshape(4, 4, 12, f)
+    return jax.lax.conv_general_dilated(
+        xs.astype(dtype), w2.astype(dtype), window_strides=(1, 1),
+        padding=[(2, 1), (2, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNet(nn.Module):
     """ResNet trunk -> global average pool -> Dense(embed_dim)."""
 
@@ -89,6 +127,9 @@ class ResNet(nn.Module):
     embed_dim: int = 512
     num_filters: int = 64
     dtype: Any = jnp.bfloat16
+    # 'space_to_depth' (default; numerically identical, ~MXU-efficient stem)
+    # or 'conv7' (direct 7x7/s2). Both use the same [7,7,3,F] conv1 param.
+    stem: str = "space_to_depth"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -105,8 +146,14 @@ class ResNet(nn.Module):
                        param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
-        x = conv(self.num_filters, (7, 7), strides=(2, 2),
-                 padding=[(3, 3), (3, 3)], name="conv1")(x)
+        use_s2d = (self.stem == "space_to_depth"
+                   and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
+        if use_s2d:
+            kernel = _Conv1Param(self.num_filters, name="conv1")()
+            x = _space_to_depth_stem(x, kernel, self.dtype)
+        else:
+            x = conv(self.num_filters, (7, 7), strides=(2, 2),
+                     padding=[(3, 3), (3, 3)], name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x).astype(self.dtype)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])

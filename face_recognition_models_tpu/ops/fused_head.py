@@ -30,7 +30,16 @@ one of three static variants:
     mv:         h = cos > a ? w*cos+(w-1) : cos        (MV-Softmax, b = w)
     curricular: h = cos > a ? cos*(b + cos) : cos      (CurricularFace)
 
-VPL/QAFace blend a second (memory) matmul into cos and use the jnp path.
+Memory-blended heads (VPL-ArcFace, QAFace) add one element: the non-target
+cosine is a per-class blend of the weight cosine with a memory cosine,
+
+    cos'[i, j] = (1 - lam[j]) * (xn @ wn)[i, j] + lam[j] * (xn @ memn)[i, j]
+
+(VPL: lam[j] = lamda * active[j], criterion.py:724-726; QAFace:
+lam[j] = active[j], :1471-1476). `fused_margin_ce_mem` fuses that second
+matmul into the same class-tile sweep — both [N, C] cosine matrices stay in
+VMEM tiles, so these largest-state heads get the same O(N) memory and class
+sharding as the rest.
 """
 
 from __future__ import annotations
@@ -83,14 +92,18 @@ def _h_grad(mode: int, cos, a, b):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref,
-                a_ref, b_ref,
-                lse_ref, tlogit_ref, higher_ref,
-                m_scr, l_scr, hi_scr,
-                *, mode: int, num_classes: int, block_c: int,
-                clamp_eps, mm_dtype=jnp.float32):
+def _fwd_kernel(*refs, mode: int, num_classes: int, block_c: int,
+                clamp_eps, mm_dtype=jnp.float32, has_mem: bool = False):
     """Grid (C tiles MAJOR, N tiles minor): the W tile stays resident across
     the row sweep; online-softmax state lives in whole-N scratch."""
+    if has_mem:
+        (xn_ref, wn_ref, memn_ref, lam_ref, label_ref, t_ref, tcos_ref,
+         scale_ref, a_ref, b_ref, lse_ref, tlogit_ref, higher_ref,
+         m_scr, l_scr, hi_scr) = refs
+    else:
+        (xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref, a_ref,
+         b_ref, lse_ref, tlogit_ref, higher_ref,
+         m_scr, l_scr, hi_scr) = refs
     jc = pl.program_id(0)
     jn = pl.program_id(1)
     num_c = pl.num_programs(0)
@@ -106,6 +119,11 @@ def _fwd_kernel(xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref,
     xn = xn_ref[:].astype(mm_dtype)                    # [BN, D]
     wn = wn_ref[:].astype(mm_dtype)                    # [D, BC]
     cos = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
+    if has_mem:
+        cos_mem = jnp.dot(xn, memn_ref[:].astype(mm_dtype),
+                          preferred_element_type=jnp.float32)
+        lam = lam_ref[:]                               # [1, BC]
+        cos = (1.0 - lam) * cos + lam * cos_mem
     if clamp_eps is not None:
         cos = jnp.clip(cos, -1.0 + clamp_eps, 1.0 - clamp_eps)
 
@@ -124,9 +142,13 @@ def _fwd_kernel(xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref,
     logits = scale * jnp.where(is_target, t, _h(mode, cos, a, b))
     logits = jnp.where(in_range, logits, _NEG_INF)
 
-    # pre-margin rank statistic (top-k accuracy): #{j: cos_ij > target_cos}
+    # pre-margin rank statistic (top-k accuracy): #{j != label: cos_ij >
+    # target_cos}. The target column equals tcos in exact arithmetic and
+    # must not count itself — it can differ by an ulp when tcos was
+    # computed through a different expression (memory-blended heads).
     hi_scr[rows, :] += jnp.sum(
-        jnp.where(in_range & (cos > tcos), 1.0, 0.0), axis=1, keepdims=True)
+        jnp.where(in_range & ~is_target & (cos > tcos), 1.0, 0.0),
+        axis=1, keepdims=True)
 
     # online logsumexp
     m_prev = m_scr[rows, :]
@@ -148,12 +170,16 @@ def _fwd_kernel(xn_ref, wn_ref, label_ref, t_ref, tcos_ref, scale_ref,
 # ---------------------------------------------------------------------------
 
 
-def _bwd_dx_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
-                   lse_ref, g_lse_ref, g_t_ref,
-                   dx_ref, dt_ref, dscale_ref,
-                   dx_scr, dt_scr, dsc_scr,
-                   *, mode: int, num_classes: int, block_c: int,
-                clamp_eps, mm_dtype=jnp.float32):
+def _bwd_dx_kernel(*refs, mode: int, num_classes: int, block_c: int,
+                   clamp_eps, mm_dtype=jnp.float32, has_mem: bool = False):
+    if has_mem:
+        (xn_ref, wn_ref, memn_ref, lam_ref, label_ref, t_ref, scale_ref,
+         a_ref, b_ref, lse_ref, g_lse_ref, g_t_ref,
+         dx_ref, dt_ref, dscale_ref, dx_scr, dt_scr, dsc_scr) = refs
+    else:
+        (xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
+         lse_ref, g_lse_ref, g_t_ref,
+         dx_ref, dt_ref, dscale_ref, dx_scr, dt_scr, dsc_scr) = refs
     jc = pl.program_id(1)
     num_c = pl.num_programs(1)
 
@@ -166,6 +192,12 @@ def _bwd_dx_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
     xn = xn_ref[:].astype(mm_dtype)
     wn = wn_ref[:].astype(mm_dtype)                     # [D, BC]
     cos_raw = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
+    if has_mem:
+        memn = memn_ref[:].astype(mm_dtype)
+        lam = lam_ref[:]
+        cos_raw = ((1.0 - lam) * cos_raw
+                   + lam * jnp.dot(xn, memn,
+                                   preferred_element_type=jnp.float32))
     if clamp_eps is not None:
         cos = jnp.clip(cos_raw, -1.0 + clamp_eps, 1.0 - clamp_eps)
         clamp_pass = ((cos_raw >= -1.0 + clamp_eps)
@@ -201,8 +233,14 @@ def _bwd_dx_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
     dsc_scr[:] += jnp.sum(
         jnp.where(is_target, dlogits * t, dlogits * h), axis=1,
         keepdims=True)
-    dx_scr[:] += jnp.dot(dcos.astype(mm_dtype), wn.T,
-                         preferred_element_type=jnp.float32)
+    if has_mem:
+        dx_scr[:] += jnp.dot((dcos * (1.0 - lam)).astype(mm_dtype), wn.T,
+                             preferred_element_type=jnp.float32)
+        dx_scr[:] += jnp.dot((dcos * lam).astype(mm_dtype), memn.T,
+                             preferred_element_type=jnp.float32)
+    else:
+        dx_scr[:] += jnp.dot(dcos.astype(mm_dtype), wn.T,
+                             preferred_element_type=jnp.float32)
 
     @pl.when(jc == num_c - 1)
     def _finalize():
@@ -212,11 +250,15 @@ def _bwd_dx_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
         dscale_ref[:] = dsc_scr[:] + g_t * t
 
 
-def _bwd_dw_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
-                   lse_ref, g_lse_ref,
-                   dw_ref, dw_scr,
-                   *, mode: int, num_classes: int, block_c: int,
-                   block_n: int, clamp_eps, mm_dtype=jnp.float32):
+def _bwd_dw_kernel(*refs, mode: int, num_classes: int, block_c: int,
+                   block_n: int, clamp_eps, mm_dtype=jnp.float32,
+                   has_mem: bool = False):
+    if has_mem:
+        (xn_ref, wn_ref, memn_ref, lam_ref, label_ref, t_ref, scale_ref,
+         a_ref, b_ref, lse_ref, g_lse_ref, dw_ref, dw_scr) = refs
+    else:
+        (xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
+         lse_ref, g_lse_ref, dw_ref, dw_scr) = refs
     jn = pl.program_id(1)
     num_n = pl.num_programs(1)
 
@@ -227,6 +269,11 @@ def _bwd_dw_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
     xn = xn_ref[:].astype(mm_dtype)                     # [BN, D]
     wn = wn_ref[:].astype(mm_dtype)                     # [D, BC]
     cos_raw = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
+    if has_mem:
+        lam = lam_ref[:]
+        cos_raw = ((1.0 - lam) * cos_raw
+                   + lam * jnp.dot(xn, memn_ref[:].astype(mm_dtype),
+                                   preferred_element_type=jnp.float32))
     if clamp_eps is not None:
         cos = jnp.clip(cos_raw, -1.0 + clamp_eps, 1.0 - clamp_eps)
         clamp_pass = ((cos_raw >= -1.0 + clamp_eps)
@@ -255,6 +302,8 @@ def _bwd_dw_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
     dlogits = g_lse * p
     dcos = jnp.where(is_target, 0.0,
                      dlogits * scale * _h_grad(mode, cos, a, b)) * clamp_pass
+    if has_mem:
+        dcos = dcos * (1.0 - lam)  # only the weight-cosine share reaches W
     dw_scr[:] += jnp.dot(xn.T, dcos.astype(mm_dtype),
                          preferred_element_type=jnp.float32)
 
@@ -263,12 +312,8 @@ def _bwd_dw_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
         dw_ref[:] = dw_scr[:]
 
 
-def _bwd_fused_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref,
-                      b_ref, lse_ref, g_lse_ref, g_t_ref,
-                      dx_ref, dt_ref, dscale_ref, dw_ref,
-                      dx_scr, dt_scr, dsc_scr, dw_scr,
-                      *, mode: int, num_classes: int, block_c: int,
-                      clamp_eps, mm_dtype=jnp.float32):
+def _bwd_fused_kernel(*refs, mode: int, num_classes: int, block_c: int,
+                      clamp_eps, mm_dtype=jnp.float32, has_mem: bool = False):
     """Single-sweep backward: grid (C tiles MAJOR, N tiles minor).
 
     The W tile stays resident across the inner N sweep, cos/dcos are
@@ -277,6 +322,16 @@ def _bwd_fused_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref,
     (written out on the last C tile). Halves the backward matmul + epilogue
     work at the cost of O(N*D) VMEM scratch.
     """
+    if has_mem:
+        (xn_ref, wn_ref, memn_ref, lam_ref, label_ref, t_ref, scale_ref,
+         a_ref, b_ref, lse_ref, g_lse_ref, g_t_ref,
+         dx_ref, dt_ref, dscale_ref, dw_ref,
+         dx_scr, dt_scr, dsc_scr, dw_scr) = refs
+    else:
+        (xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref, b_ref,
+         lse_ref, g_lse_ref, g_t_ref,
+         dx_ref, dt_ref, dscale_ref, dw_ref,
+         dx_scr, dt_scr, dsc_scr, dw_scr) = refs
     jc = pl.program_id(0)
     jn = pl.program_id(1)
     num_c = pl.num_programs(0)
@@ -297,6 +352,12 @@ def _bwd_fused_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref,
     xn = xn_ref[:].astype(mm_dtype)
     wn = wn_ref[:].astype(mm_dtype)
     cos_raw = jnp.dot(xn, wn, preferred_element_type=jnp.float32)
+    if has_mem:
+        memn = memn_ref[:].astype(mm_dtype)
+        lam = lam_ref[:]
+        cos_raw = ((1.0 - lam) * cos_raw
+                   + lam * jnp.dot(xn, memn,
+                                   preferred_element_type=jnp.float32))
     if clamp_eps is not None:
         cos = jnp.clip(cos_raw, -1.0 + clamp_eps, 1.0 - clamp_eps)
         clamp_pass = ((cos_raw >= -1.0 + clamp_eps)
@@ -331,10 +392,20 @@ def _bwd_fused_kernel(xn_ref, wn_ref, label_ref, t_ref, scale_ref, a_ref,
     dsc_scr[rows, :] += jnp.sum(
         jnp.where(is_target, dlogits * t, dlogits * h), axis=1,
         keepdims=True)
-    dcos_mm = dcos.astype(mm_dtype)
-    dx_scr[rows, :] += jnp.dot(dcos_mm, wn.T,
-                               preferred_element_type=jnp.float32)
-    dw_scr[:] += jnp.dot(xn.T, dcos_mm, preferred_element_type=jnp.float32)
+    if has_mem:
+        dcos_w = (dcos * (1.0 - lam)).astype(mm_dtype)
+        dx_scr[rows, :] += jnp.dot(dcos_w, wn.T,
+                                   preferred_element_type=jnp.float32)
+        dx_scr[rows, :] += jnp.dot((dcos * lam).astype(mm_dtype), memn.T,
+                                   preferred_element_type=jnp.float32)
+        dw_scr[:] += jnp.dot(xn.T, dcos_w,
+                             preferred_element_type=jnp.float32)
+    else:
+        dcos_mm = dcos.astype(mm_dtype)
+        dx_scr[rows, :] += jnp.dot(dcos_mm, wn.T,
+                                   preferred_element_type=jnp.float32)
+        dw_scr[:] += jnp.dot(xn.T, dcos_mm,
+                             preferred_element_type=jnp.float32)
 
     @pl.when(jn == num_n - 1)
     def _finalize_w():
@@ -389,7 +460,8 @@ def fused_margin_ce(xn, wn, labels, t, tcos, scale, ab,
 
 
 def _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
-               block_c, interpret, mm_dtype=jnp.float32):
+               block_c, interpret, mm_dtype=jnp.float32, memn=None, lam=None):
+    has_mem = memn is not None
     n, d = xn.shape
     c = wn.shape[1]
     n_pad = -(-n // block_n) * block_n
@@ -409,38 +481,54 @@ def _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
     grid = (c_pad // block_c, n_pad // block_n)  # C major, N minor
     row_spec = pl.BlockSpec((block_n, 1), lambda jc, jn: (jn, 0),
                             memory_space=pltpu.VMEM)
+    wn_spec = pl.BlockSpec((d, block_c), lambda jc, jn: (0, jc),
+                           memory_space=pltpu.VMEM)
     kernel = functools.partial(_fwd_kernel, mode=mode, num_classes=c,
                                block_c=block_c, clamp_eps=clamp_eps,
-                               mm_dtype=mm_dtype)
+                               mm_dtype=mm_dtype, has_mem=has_mem)
+    in_specs = [
+        pl.BlockSpec((block_n, d), lambda jc, jn: (jn, 0),
+                     memory_space=pltpu.VMEM),
+        wn_spec,
+    ]
+    operands = [xn_p, wn_p]
+    if has_mem:
+        in_specs += [wn_spec,
+                     pl.BlockSpec((1, block_c), lambda jc, jn: (0, jc),
+                                  memory_space=pltpu.VMEM)]
+        operands += [_pad_to(memn.astype(jnp.float32), c_pad, 1),
+                     _pad_to(lam.astype(jnp.float32).reshape(1, -1),
+                             c_pad, 1)]
+    in_specs += [row_spec] * 6
+    operands += [labels_p, t_p, tcos_p, scale_p, a_p, b_p]
+
     lse, tlogit, higher = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_n, d), lambda jc, jn: (jn, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block_c), lambda jc, jn: (0, jc),
-                         memory_space=pltpu.VMEM),
-            row_spec, row_spec, row_spec, row_spec, row_spec, row_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[row_spec, row_spec, row_spec],
         out_shape=[jax.ShapeDtypeStruct((n_pad, 1), jnp.float32)] * 3,
         scratch_shapes=[pltpu.VMEM((n_pad, 1), jnp.float32)] * 3,
         interpret=interpret,
-    )(xn_p, wn_p, labels_p, t_p, tcos_p, scale_p, a_p, b_p)
+    )(*operands)
 
     out = FusedHeadOut(lse=lse[:n, 0], target_logit=tlogit[:n, 0],
                        higher=higher[:n, 0])
-    residuals = (xn, wn, labels, t, tcos, scale, ab, out.lse)
+    residuals = (xn, wn, memn, lam, labels, t, tcos, scale, ab, out.lse)
     return out, residuals
 
 
 _DX_SCRATCH_BUDGET = 6 * 1024 * 1024  # bytes of VMEM for the dx accumulator
 
 
-def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
-               residuals, grads):
-    xn, wn, labels, t, tcos, scale, ab, lse = residuals
+def _fused_bwd_impl(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
+                    residuals, grads):
+    """Shared backward: returns (dx, dw, dt, dscale). memn/lam in the
+    residuals are blend constants (memory update is stop-gradient in the
+    heads); their grads are never needed."""
+    xn, wn, memn, lam, labels, t, tcos, scale, ab, lse = residuals
     g_lse, g_t, _g_higher = grads  # higher is a statistic: no gradient
+    has_mem = memn is not None
     n, d = xn.shape
     c = wn.shape[1]
     n_pad = -(-n // block_n) * block_n
@@ -462,20 +550,30 @@ def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
     lse_p = _pad_to(_row(lse), n_pad, 0, value=1.0)
     g_lse_p = _pad_to(_row(g_lse), n_pad, 0)
     g_t_p = _pad_to(_row(g_t), n_pad, 0)
+    mem_ops = []
+    if has_mem:
+        mem_ops = [_pad_to(memn.astype(jnp.float32), c_pad, 1),
+                   _pad_to(lam.astype(jnp.float32).reshape(1, -1), c_pad, 1)]
 
     row_spec_i = pl.BlockSpec((block_n, 1), lambda i, j: (i, 0),
                               memory_space=pltpu.VMEM)
+    wn_spec_i = pl.BlockSpec((d, block_c), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM)
+    mem_specs_i = ([wn_spec_i,
+                    pl.BlockSpec((1, block_c), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM)]
+                   if has_mem else [])
 
     dx, dt, dscale = pl.pallas_call(
         functools.partial(_bwd_dx_kernel, mode=mode, num_classes=c,
                           block_c=block_c, clamp_eps=clamp_eps,
-                          mm_dtype=mm_dtype),
+                          mm_dtype=mm_dtype, has_mem=has_mem),
         grid=(n_pad // block_n, c_pad // block_c),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block_c), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
+            wn_spec_i,
+        ] + mem_specs_i + [
             row_spec_i, row_spec_i, row_spec_i, row_spec_i, row_spec_i,
             row_spec_i, row_spec_i, row_spec_i,
         ],
@@ -495,20 +593,28 @@ def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
             pltpu.VMEM((block_n, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(xn_p, wn_p, labels_p, t_p, scale_p, a_p, b_p, lse_p, g_lse_p, g_t_p)
+    )(xn_p, wn_p, *mem_ops, labels_p, t_p, scale_p, a_p, b_p, lse_p,
+      g_lse_p, g_t_p)
 
     row_spec_j = pl.BlockSpec((block_n, 1), lambda j, i: (i, 0),
                               memory_space=pltpu.VMEM)
+    wn_spec_j = pl.BlockSpec((d, block_c), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM)
+    mem_specs_j = ([wn_spec_j,
+                    pl.BlockSpec((1, block_c), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM)]
+                   if has_mem else [])
     dw = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, mode=mode, num_classes=c,
                           block_c=block_c, block_n=block_n,
-                          clamp_eps=clamp_eps, mm_dtype=mm_dtype),
+                          clamp_eps=clamp_eps, mm_dtype=mm_dtype,
+                          has_mem=has_mem),
         grid=(c_pad // block_c, n_pad // block_n),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda j, i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block_c), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
+            wn_spec_j,
+        ] + mem_specs_j + [
             row_spec_j, row_spec_j, row_spec_j, row_spec_j, row_spec_j,
             row_spec_j, row_spec_j,
         ],
@@ -517,16 +623,19 @@ def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
         out_shape=jax.ShapeDtypeStruct((d, c_pad), jnp.float32),
         scratch_shapes=[pltpu.VMEM((d, block_c), jnp.float32)],
         interpret=interpret,
-    )(xn_p, wn_p, labels_p, t_p, scale_p, a_p, b_p, lse_p, g_lse_p)
+    )(xn_p, wn_p, *mem_ops, labels_p, t_p, scale_p, a_p, b_p, lse_p,
+      g_lse_p)
 
-    return (dx[:n], dw[:, :c], None, dt[:n, 0], None, dscale[:n, 0], None)
+    return dx[:n], dw[:, :c], dt[:n, 0], dscale[:n, 0]
 
 
 def _fused_bwd_single_sweep(mode, clamp_eps, block_n, block_c, interpret,
                             mm_dtype, residuals, grads):
-    """C-major single-recompute backward (see _bwd_fused_kernel)."""
-    xn, wn, labels, t, tcos, scale, ab, lse = residuals
+    """C-major single-recompute backward (see _bwd_fused_kernel).
+    Returns (dx, dw, dt, dscale)."""
+    xn, wn, memn, lam, labels, t, tcos, scale, ab, lse = residuals
     g_lse, g_t, _g_higher = grads
+    has_mem = memn is not None
     n, d = xn.shape
     c = wn.shape[1]
     n_pad = -(-n // block_n) * block_n
@@ -543,19 +652,29 @@ def _fused_bwd_single_sweep(mode, clamp_eps, block_n, block_c, interpret,
     lse_p = _pad_to(_row(lse), n_pad, 0, value=1.0)
     g_lse_p = _pad_to(_row(g_lse), n_pad, 0)
     g_t_p = _pad_to(_row(g_t), n_pad, 0)
+    mem_ops = []
+    if has_mem:
+        mem_ops = [_pad_to(memn.astype(jnp.float32), c_pad, 1),
+                   _pad_to(lam.astype(jnp.float32).reshape(1, -1), c_pad, 1)]
 
     row = pl.BlockSpec((block_n, 1), lambda jc, jn: (jn, 0),
                        memory_space=pltpu.VMEM)
+    wn_spec = pl.BlockSpec((d, block_c), lambda jc, jn: (0, jc),
+                           memory_space=pltpu.VMEM)
+    mem_specs = ([wn_spec,
+                  pl.BlockSpec((1, block_c), lambda jc, jn: (0, jc),
+                               memory_space=pltpu.VMEM)]
+                 if has_mem else [])
     dx, dt, dscale, dw = pl.pallas_call(
         functools.partial(_bwd_fused_kernel, mode=mode, num_classes=c,
                           block_c=block_c, clamp_eps=clamp_eps,
-                          mm_dtype=mm_dtype),
+                          mm_dtype=mm_dtype, has_mem=has_mem),
         grid=(c_pad // block_c, n_pad // block_n),
         in_specs=[
             pl.BlockSpec((block_n, d), lambda jc, jn: (jn, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((d, block_c), lambda jc, jn: (0, jc),
-                         memory_space=pltpu.VMEM),
+            wn_spec,
+        ] + mem_specs + [
             row, row, row, row, row, row, row, row,
         ],
         out_specs=[
@@ -578,9 +697,18 @@ def _fused_bwd_single_sweep(mode, clamp_eps, block_n, block_c, interpret,
             pltpu.VMEM((d, block_c), jnp.float32),
         ],
         interpret=interpret,
-    )(xn_p, wn_p, labels_p, t_p, scale_p, a_p, b_p, lse_p, g_lse_p, g_t_p)
+    )(xn_p, wn_p, *mem_ops, labels_p, t_p, scale_p, a_p, b_p, lse_p,
+      g_lse_p, g_t_p)
 
-    return (dx[:n], dw[:, :c], None, dt[:n, 0], None, dscale[:n, 0], None)
+    return dx[:n], dw[:, :c], dt[:n, 0], dscale[:n, 0]
+
+
+def _fused_bwd(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
+               residuals, grads):
+    dx, dw, dt, dscale = _fused_bwd_impl(mode, clamp_eps, block_n, block_c,
+                                         interpret, mm_dtype, residuals,
+                                         grads)
+    return (dx, dw, None, dt, None, dscale, None)
 
 
 fused_margin_ce.defvjp(
@@ -589,3 +717,49 @@ fused_margin_ce.defvjp(
         xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps, block_n,
         block_c, interpret, mm_dtype),
     _fused_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Memory-blended variant (VPL-ArcFace / QAFace)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12, 13, 14))
+def fused_margin_ce_mem(xn, wn, memn, lam, labels, t, tcos, scale, ab,
+                        mode: int, clamp_eps=None, block_n: int = 128,
+                        block_c: int = 512, interpret: bool = False,
+                        mm_dtype=jnp.float32):
+    """Fused margin+CE with a per-class memory blend on non-target columns:
+
+        cos'[i, j] = (1 - lam[j]) * (xn @ wn)[i, j] + lam[j] * (xn @ memn)[i, j]
+
+    memn [D, C] column-normalized memory prototypes; lam [C] blend weights
+    (0 disables the blend for that class). Both are treated as constants by
+    the VJP (the heads update memories under stop_gradient —
+    reference criterion.py:702-726, 1455-1485); dx flows through BOTH
+    matmuls, dw only through the (1 - lam) share.
+    Returns (lse [N], target_logit [N], higher [N]) like fused_margin_ce.
+    """
+    out, _ = _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps,
+                        block_n, block_c, interpret, mm_dtype,
+                        memn=memn, lam=lam)
+    return out
+
+
+def _fused_fwd_mem(xn, wn, memn, lam, labels, t, tcos, scale, ab, mode,
+                   clamp_eps, block_n, block_c, interpret,
+                   mm_dtype=jnp.float32):
+    return _fused_fwd(xn, wn, labels, t, tcos, scale, ab, mode, clamp_eps,
+                      block_n, block_c, interpret, mm_dtype,
+                      memn=memn, lam=lam)
+
+
+def _fused_bwd_mem(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
+                   residuals, grads):
+    dx, dw, dt, dscale = _fused_bwd_impl(mode, clamp_eps, block_n, block_c,
+                                         interpret, mm_dtype, residuals,
+                                         grads)
+    return (dx, dw, None, None, None, dt, None, dscale, None)
+
+
+fused_margin_ce_mem.defvjp(_fused_fwd_mem, _fused_bwd_mem)

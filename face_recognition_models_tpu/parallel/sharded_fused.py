@@ -30,6 +30,7 @@ from jax.experimental.shard_map import shard_map
 from face_recognition_models_tpu.ops.fused_head import (
     FusedHeadOut,
     fused_margin_ce,
+    fused_margin_ce_mem,
 )
 
 
@@ -38,12 +39,14 @@ def sharded_fused_margin_ce(mesh: Mesh, xn, wn, labels, t, tcos, scale, ab,
                             block_n: int = 128, block_c: int = 512,
                             interpret: bool = False,
                             data_axis: str = "data",
-                            model_axis: str = "model") -> FusedHeadOut:
+                            model_axis: str = "model",
+                            memn=None, lam=None) -> FusedHeadOut:
     """Global-semantics fused margin+CE over a (data, model) mesh.
 
     xn [N, D] shards over data rows; wn [D, C] shards over model columns;
-    all row vectors shard over data. Returns global (lse, target, higher)
-    sharded over data.
+    all row vectors shard over data. Memory-blended heads pass memn [D, C]
+    and lam [C], sharded over the same class axis as wn. Returns global
+    (lse, target, higher) sharded over data.
     """
     msize = mesh.shape[model_axis]
     c = wn.shape[1]
@@ -51,8 +54,10 @@ def sharded_fused_margin_ce(mesh: Mesh, xn, wn, labels, t, tcos, scale, ab,
         raise ValueError(f"num_classes {c} must divide over the model axis "
                          f"({msize})")
     c_local = c // msize
+    has_mem = memn is not None
 
-    def shard_fn(xn_l, wn_l, labels_l, t_l, tcos_l, scale_l, ab_l):
+    def shard_fn(xn_l, wn_l, labels_l, t_l, tcos_l, scale_l, ab_l,
+                 *mem_args):
         midx = jax.lax.axis_index(model_axis)
         offset = midx * c_local
         lab_local = labels_l - offset
@@ -61,9 +66,15 @@ def sharded_fused_margin_ce(mesh: Mesh, xn, wn, labels, t, tcos, scale, ab,
         # target column (the margin only exists on the owning shard)
         lab_local = jnp.where(owner, lab_local, c_local + 1)
 
-        out = fused_margin_ce(xn_l, wn_l, lab_local, t_l, tcos_l, scale_l,
-                              ab_l, mode, clamp_eps, block_n, block_c,
-                              interpret)
+        if has_mem:
+            memn_l, lam_l = mem_args
+            out = fused_margin_ce_mem(xn_l, wn_l, memn_l, lam_l, lab_local,
+                                      t_l, tcos_l, scale_l, ab_l, mode,
+                                      clamp_eps, block_n, block_c, interpret)
+        else:
+            out = fused_margin_ce(xn_l, wn_l, lab_local, t_l, tcos_l,
+                                  scale_l, ab_l, mode, clamp_eps, block_n,
+                                  block_c, interpret)
 
         # the shift is numerics-only (lse is shift-invariant), so it must
         # not be differentiated (pmax has no JVP rule anyway) — stop the
@@ -76,10 +87,15 @@ def sharded_fused_margin_ce(mesh: Mesh, xn, wn, labels, t, tcos, scale, ab,
         return FusedHeadOut(lse=lse, target_logit=target, higher=higher)
 
     row = P(data_axis)
+    in_specs = (P(data_axis, None), P(None, model_axis), row, row, row,
+                row, P(data_axis, None))
+    operands = (xn, wn, labels, t, tcos, scale, ab)
+    if has_mem:
+        in_specs = in_specs + (P(None, model_axis), P(model_axis))
+        operands = operands + (memn, lam)
     return shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(data_axis, None), P(None, model_axis), row, row, row,
-                  row, P(data_axis, None)),
+        in_specs=in_specs,
         out_specs=FusedHeadOut(lse=row, target_logit=row, higher=row),
         check_rep=False,
-    )(xn, wn, labels, t, tcos, scale, ab)
+    )(*operands)

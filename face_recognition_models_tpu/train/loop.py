@@ -109,9 +109,24 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
         use_fused_head=cfg.use_pallas_head,
         mesh=mesh if use_mesh else None)
 
+    scan_k = max(1, int(getattr(cfg, "scan_steps", 1)))
+
+    def chunk_fn(state, images_k, labels_k):
+        """`scan_k` train steps in ONE dispatch: lax.scan over stacked
+        batches [K, N, ...]; the QAFace degraded view is built on device
+        inside the scan body."""
+        def body(st, batch):
+            im, lb = batch
+            if head.requires_minput:
+                return step_fn(st, im, lb, degrade_images(im))
+            return step_fn(st, im, lb)
+        return jax.lax.scan(body, state, (images_k, labels_k))
+
     if use_mesh:
+        from jax.sharding import NamedSharding, PartitionSpec as P
         shardings = train_state_shardings(mesh, state, head_cfg.num_classes)
         data_s = batch_sharding(mesh)
+        chunk_s = NamedSharding(mesh, P(None, "data"))
         state = jax.device_put(state, shardings)
         in_shardings = (shardings, data_s, data_s)
         if head.requires_minput:
@@ -125,7 +140,12 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
                                in_shardings=in_shardings,
                                out_shardings=(shardings, None),
                                donate_argnums=(0,))
+        jit_chunk = jax.jit(chunk_fn,
+                            in_shardings=(shardings, chunk_s, chunk_s),
+                            out_shardings=(shardings, None),
+                            donate_argnums=(0,))
         put = lambda x: jax.device_put(x, data_s)
+        put_chunk = lambda x: jax.device_put(x, chunk_s)
     else:
         if head.requires_minput:
             jit_step = jax.jit(lambda s, im, lb, mi: step_fn(s, im, lb, mi),
@@ -133,7 +153,9 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
         else:
             jit_step = jax.jit(lambda s, im, lb: step_fn(s, im, lb),
                                donate_argnums=(0,))
+        jit_chunk = jax.jit(chunk_fn, donate_argnums=(0,))
         put = jax.device_put
+        put_chunk = jax.device_put
 
     # --- resume ------------------------------------------------------------
     min_train_loss = float("inf")
@@ -176,10 +198,42 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             steps_per_epoch, TRAIN_COLUMNS,
             prefix=f"Epoch: [{epoch}/{cfg.epochs + start_epoch - 1}]")
 
-        losses = []
+        losses = []  # per-step device scalars and [K] chunk vectors
         end = time.time()
-        for i, (images, labels) in enumerate(loader.epoch(epoch)):
-            data_t = time.time() - end
+        i = 0  # steps completed this epoch
+        buf_im, buf_lb = [], []
+
+        def handle_step(metrics, n_steps, bsz, data_t, step_t):
+            nonlocal i, global_step, total_images
+            first = i
+            i += n_steps
+            global_step += n_steps
+            total_images += bsz * n_steps
+            if preempted["flag"]:
+                if checkpoint_manager is not None:
+                    partial = float(np.mean(np.concatenate(
+                        [np.atleast_1d(np.asarray(x, np.float32))
+                         for x in losses])))
+                    checkpoint_manager.save(state, epoch - 1, partial)
+                    print(f"### Preemption: saved checkpoint at epoch "
+                          f"{epoch - 1} step {i} — resume with "
+                          f"continue_train='latest' ###")
+                raise SystemExit(143)
+            if first % cfg.print_freq < n_steps:
+                # sync point: materialize the latest step's metrics
+                m = {k: float(np.asarray(v).reshape(-1)[-1])
+                     for k, v in metrics.items()}
+                tracker.observe({"batch_time": step_t / n_steps,
+                                 "data_time": data_t / n_steps,
+                                 "throughput": bsz * n_steps
+                                 / max(step_t, 1e-9)})
+                tracker.observe(m, weight=bsz)
+                print(tracker.line(i - 1))
+                if logger is not None:
+                    logger.log({**m, "epoch": epoch}, step=global_step)
+
+        def run_single(images, labels):
+            nonlocal state
             batch = (put(images), put(labels))
             if head.requires_minput:
                 minput = degrade_images(batch[0])
@@ -187,33 +241,42 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             else:
                 state, metrics = jit_step(state, batch[0], batch[1])
             losses.append(metrics["loss"])  # async device scalar
+            return metrics
 
+        for images, labels in loader.epoch(epoch):
+            if scan_k > 1:
+                buf_im.append(images)
+                buf_lb.append(labels)
+                if len(buf_im) < scan_k:
+                    continue
+                data_t = time.time() - end
+                im_k = put_chunk(np.stack(buf_im))
+                lb_k = put_chunk(np.stack(buf_lb))
+                buf_im.clear()
+                buf_lb.clear()
+                state, metrics_k = jit_chunk(state, im_k, lb_k)
+                losses.append(metrics_k["loss"])  # [K] device vector
+                step_t = time.time() - end
+                end = time.time()
+                handle_step(metrics_k, scan_k, len(images), data_t, step_t)
+            else:
+                data_t = time.time() - end
+                metrics = run_single(images, labels)
+                step_t = time.time() - end
+                end = time.time()
+                handle_step(metrics, 1, len(images), data_t, step_t)
+
+        # leftover batches that didn't fill a scan chunk run singly
+        for images, labels in zip(buf_im, buf_lb):
+            data_t = time.time() - end
+            metrics = run_single(images, labels)
             step_t = time.time() - end
             end = time.time()
-            bsz = len(images)
-            total_images += bsz
-            global_step += 1
+            handle_step(metrics, 1, len(images), data_t, step_t)
+        buf_im, buf_lb = [], []
 
-            if preempted["flag"]:
-                if checkpoint_manager is not None:
-                    partial_loss = float(np.mean([float(x) for x in losses]))
-                    checkpoint_manager.save(state, epoch - 1, partial_loss)
-                    print(f"### Preemption: saved checkpoint at epoch "
-                          f"{epoch - 1} step {i} — resume with "
-                          f"continue_train='latest' ###")
-                raise SystemExit(143)
-
-            if i % cfg.print_freq == 0:
-                # sync point: materialize this step's metrics
-                m = {k: float(v) for k, v in metrics.items()}
-                tracker.observe({"batch_time": step_t, "data_time": data_t,
-                                 "throughput": bsz / max(step_t, 1e-9)})
-                tracker.observe(m, weight=bsz)
-                print(tracker.line(i))
-                if logger is not None:
-                    logger.log({**m, "epoch": epoch}, step=global_step)
-
-        train_loss = float(np.mean([float(x) for x in losses]))
+        train_loss = float(np.mean(np.concatenate(
+            [np.atleast_1d(np.asarray(x, np.float32)) for x in losses])))
 
         if checkpoint_manager is not None:
             if train_loss < min_train_loss:

@@ -36,9 +36,13 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     has_dropout: bool = False,
                     mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
                     horizontal_flip: bool = False,
-                    use_fused_head: bool = False,
+                    use_fused_head="auto",
                     mesh=None) -> Callable:
     """Build the jittable train step.
+
+    use_fused_head: True forces the fused Pallas margin+CE kernel (errors
+    for unsupported heads), False forces the XLA jnp path, "auto" (default)
+    picks per (head, num_classes, platform) from the measured win table.
 
     Returns step(state, images, labels, minput_images=None)
       -> (new_state, metrics dict).
@@ -48,6 +52,11 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
     uint8.
     """
 
+    if use_fused_head == "auto":
+        # Dispatch on the measured per-(head, C) win table; never slower
+        # than the XLA path, and always jnp off-TPU.
+        from face_recognition_models_tpu.heads.fused_adapter import fused_wins
+        use_fused_head = fused_wins(head_cfg.name, head_cfg.num_classes)
     if use_fused_head:
         from face_recognition_models_tpu.heads.fused_adapter import (
             fused_supported)
@@ -133,10 +142,11 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
     from face_recognition_models_tpu.heads.fused_adapter import fused_apply
 
     def train_step(state: TrainState, images, labels, minput_images=None):
-        del minput_images  # fused heads have no minput
         rng, head_rng, dropout_rng, flip_rng = jax.random.split(state.rng, 4)
         if images.dtype == jnp.uint8:
             images = normalize_images(images, mean, std)
+            if minput_images is not None and minput_images.dtype == jnp.uint8:
+                minput_images = normalize_images(minput_images, mean, std)
         if horizontal_flip:
             images = random_horizontal_flip(flip_rng, images)
 
@@ -147,9 +157,16 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
             feats, mutated = backbone.apply(
                 model_vars, images, train=True, mutable=["batch_stats"],
                 rngs=rngs)
+            minput_feats = None
+            if minput_images is not None:
+                minput_feats, _ = backbone.apply(
+                    model_vars, minput_images, train=True,
+                    mutable=["batch_stats"], rngs=rngs)
+                minput_feats = minput_feats.astype(jnp.float32)
             out = fused_apply(head_cfg, params["kernel_w"],
                               feats.astype(jnp.float32), labels,
-                              state.head_state, rng=head_rng, mesh=mesh)
+                              state.head_state, rng=head_rng,
+                              minput=minput_feats, mesh=mesh)
             loss = out.loss_id + lambda_g * out.loss_g
             return loss, (out, mutated["batch_stats"])
 

@@ -15,6 +15,7 @@ def _tiny(ctor, **kw):
     return model
 
 
+@pytest.mark.slow
 def test_arcface_net_train_and_eval():
     model = _tiny(api.ArcFaceNet)
     rng = jax.random.PRNGKey(0)

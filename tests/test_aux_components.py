@@ -59,7 +59,8 @@ def _fake_torch_resnet_sd(stage_sizes, bottleneck, width=64):
 
 @pytest.mark.parametrize("name,stages,bottleneck",
                          [("resnet18", (2, 2, 2, 2), False),
-                          ("resnet50", (3, 4, 6, 3), True)])
+                          pytest.param("resnet50", (3, 4, 6, 3), True,
+                                       marks=pytest.mark.slow)])
 def test_torch_port_resnet(name, stages, bottleneck):
     from face_recognition_models_tpu.utils.torch_port import (
         port_torchvision_resnet)

@@ -10,8 +10,11 @@ from face_recognition_models_tpu.models import get_backbone
 IMG = 32
 
 
-@pytest.mark.parametrize("name", ["resnet18", "resnet50", "efficientnet_b0",
-                                  "mobilenet_v2"])
+@pytest.mark.parametrize(
+    "name",
+    ["resnet18", "resnet50",
+     pytest.param("efficientnet_b0", marks=pytest.mark.slow),
+     pytest.param("mobilenet_v2", marks=pytest.mark.slow)])
 def test_forward_shapes(name):
     model = get_backbone(name, embed_dim=64, dtype=jnp.float32)
     rng = jax.random.PRNGKey(0)

@@ -94,6 +94,7 @@ def test_fused_elastic_same_rng_matches():
                                    rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_train_step_matches_jnp_train_step():
     """Full train-step equivalence over several steps (params drift must
     stay in fp32 noise)."""
@@ -186,3 +187,160 @@ def test_bf16_matmul_variant_close():
     loss32 = float(jnp.mean(out32.lse - out32.target_logit))
     loss16 = float(jnp.mean(out16.lse - out16.target_logit))
     assert abs(loss32 - loss16) / abs(loss32) < 0.05
+
+
+def test_fused_wins_dispatch_table():
+    """Auto dispatch (ADVICE r1 / VERDICT item 6): fused only on TPU, only
+    for measured-winner heads at small C, every fused head at big C."""
+    from face_recognition_models_tpu.heads.fused_adapter import fused_wins
+
+    # never off-TPU
+    assert not fused_wins("arcface", 10575, platform="cpu")
+    assert not fused_wins("arcface", 1 << 20, platform="cpu")
+    # small C: winners yes (incl. the memory-blended heads: 1.40x/1.47x
+    # measured), regression heads no
+    assert fused_wins("arcface", 10575, platform="tpu")
+    assert fused_wins("adaface", 10575, platform="tpu")
+    assert fused_wins("vpl_arcface", 10575, platform="tpu")
+    assert fused_wins("qaface", 10575, platform="tpu")
+    assert not fused_wins("mv_softmax", 10575, platform="tpu")
+    assert not fused_wins("elastic_arcface", 10575, platform="tpu")
+    # big C: every fused head
+    assert fused_wins("mv_softmax", 131072, platform="tpu")
+    assert fused_wins("elastic_cosface", 131072, platform="tpu")
+    assert fused_wins("qaface", 131072, platform="tpu")
+
+
+def test_auto_train_step_resolves_to_jnp_on_cpu():
+    """make_train_step(use_fused_head='auto') must pick the jnp path here
+    (CPU) — building it must not require Pallas lowering."""
+    from face_recognition_models_tpu.models.resnet import BasicBlock, ResNet
+    from face_recognition_models_tpu.train.optim import get_optimizer
+    from face_recognition_models_tpu.train.state import TrainState
+    from face_recognition_models_tpu.train.step import make_train_step
+
+    cfg = cfg_lib.make_head_config("arcface", feature_dim=16, num_classes=8)
+    head = get_head("arcface")
+    backbone = ResNet(stage_sizes=(1, 1, 1, 1), block=BasicBlock,
+                      num_filters=8, embed_dim=16)
+    rng = jax.random.PRNGKey(0)
+    variables = backbone.init(rng, jnp.zeros((1, 32, 32, 3)), train=False)
+    tx = get_optimizer("sgd", 0.1)
+    params = {"backbone": variables["params"],
+              "kernel_w": head.init_kernel(rng, cfg)}
+    state = TrainState(step=jnp.int32(0), params=params,
+                       batch_stats=variables.get("batch_stats", {}),
+                       head_state=head.init_state(cfg),
+                       opt_state=tx.init(params), rng=rng)
+    step = jax.jit(make_train_step(backbone, head, cfg, tx,
+                                   use_fused_head="auto"))
+    images = jnp.zeros((4, 32, 32, 3), jnp.uint8)
+    labels = jnp.zeros((4,), jnp.int32)
+    new_state, metrics = step(state, images, labels)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+@pytest.mark.tpu
+@pytest.mark.skipif(jax.devices()[0].platform != "tpu",
+                    reason="compiled-mode Pallas needs a real TPU")
+@pytest.mark.parametrize("name", ["arcface", "curricularface", "mv_softmax"])
+def test_fused_compiled_mode_smoke(name):
+    """ADVICE r1: compiled (interpret=False) TPU lowering smoke — the grid
+    semantics the kernels rely on (sequential C-major sweep, whole-N VMEM
+    scratch) have no interpret-mode coverage."""
+    cfg, head, kernel, state, feats, labels, rng = _setup(name, seed=2)
+    loss_ref, loss_g_ref, *_ = _jnp_loss(cfg, head, kernel, feats, labels,
+                                         state, rng)
+    def loss_fused(kernel):
+        out = fused_apply(cfg, kernel, feats, labels, state, rng=rng,
+                          interpret=False)
+        return out.loss_id + 0.1 * out.loss_g
+    val, grad = jax.value_and_grad(loss_fused)(kernel)
+    np.testing.assert_allclose(float(val),
+                               float(loss_ref) + 0.1 * float(loss_g_ref),
+                               rtol=1e-4, atol=1e-4)
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+# ---------------------------------------------------------------------------
+# Memory-blended heads (VPL-ArcFace / QAFace) — fused_margin_ce_mem
+# ---------------------------------------------------------------------------
+
+
+def _mem_setup(name, seed=0, steps=3):
+    cfg = cfg_lib.make_head_config(name, feature_dim=D, num_classes=C,
+                                   delta=2)  # short TTL: expiry mid-sequence
+    head = get_head(name)
+    rng = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(rng)
+    kernel = head.init_kernel(k1, cfg)
+    batches = []
+    for i in range(steps):
+        kf, kl, km, k2 = jax.random.split(jax.random.fold_in(k2, i), 4)
+        feats = 10.0 * jax.random.normal(kf, (N, D), jnp.float32)
+        labels = jax.random.randint(kl, (N,), 0, C)
+        minput = feats + 2.0 * jax.random.normal(km, (N, D), jnp.float32)
+        batches.append((feats, labels, minput))
+    return cfg, head, kernel, batches
+
+
+@pytest.mark.parametrize("name", ["vpl_arcface", "qaface"])
+def test_fused_mem_head_matches_jnp_sequence(name):
+    """Multi-step: memory/lifetime state sequences and losses must track the
+    jnp path exactly (TTL expiry included via delta=2)."""
+    cfg, head, kernel, batches = _mem_setup(name)
+    state_ref = head.init_state(cfg)
+    state_fused = head.init_state(cfg)
+    for step, (feats, labels, minput) in enumerate(batches):
+        mi = minput if name == "qaface" else None
+        out_ref = head.apply(cfg, kernel, feats, labels, state_ref,
+                             minput=mi)
+        loss_ref = mean_cross_entropy(out_ref.logits, labels)
+        acc1_ref, acc5_ref = topk_accuracy(out_ref.pre_logits, labels)
+        state_ref = out_ref.state
+
+        out = fused_apply(cfg, kernel, feats, labels, state_fused,
+                          minput=mi, block_n=16, block_c=64, interpret=True)
+        state_fused = out.state
+        np.testing.assert_allclose(float(out.loss_id), float(loss_ref),
+                                   rtol=3e-5, atol=3e-5,
+                                   err_msg=f"{name} loss step {step}")
+        assert float(out.acc1) == float(acc1_ref), f"{name} acc1 {step}"
+        assert float(out.acc5) == float(acc5_ref), f"{name} acc5 {step}"
+        for a, b in zip(jax.tree.leaves(state_fused),
+                        jax.tree.leaves(state_ref)):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       rtol=1e-5, atol=1e-6,
+                                       err_msg=f"{name} state step {step}")
+
+
+@pytest.mark.parametrize("name", ["vpl_arcface", "qaface"])
+def test_fused_mem_head_matches_jnp_gradients(name):
+    """Gradients through both matmuls (dx via W and memory, dw via the
+    (1-lam) share, target-column path via the jnp gather)."""
+    cfg, head, kernel, batches = _mem_setup(name, seed=3, steps=2)
+    # step once so memories are active (lam != 0) for the grad check
+    state = head.init_state(cfg)
+    feats0, labels0, minput0 = batches[0]
+    mi0 = minput0 if name == "qaface" else None
+    state = head.apply(cfg, kernel, feats0, labels0, state, minput=mi0).state
+
+    feats, labels, minput = batches[1]
+    mi = minput if name == "qaface" else None
+
+    def loss_jnp(kernel, feats):
+        out = head.apply(cfg, kernel, feats, labels, state, minput=mi)
+        return mean_cross_entropy(out.logits, labels)
+
+    def loss_fused(kernel, feats):
+        out = fused_apply(cfg, kernel, feats, labels, state, minput=mi,
+                          block_n=16, block_c=64, interpret=True)
+        return out.loss_id
+
+    gk_ref, gf_ref = jax.grad(loss_jnp, argnums=(0, 1))(kernel, feats)
+    gk, gf = jax.grad(loss_fused, argnums=(0, 1))(kernel, feats)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref),
+                               rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gf_ref),
+                               rtol=5e-4, atol=1e-6)

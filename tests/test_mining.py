@@ -126,6 +126,7 @@ def test_mining_deterministic_with_key():
     assert np.isfinite(l3)
 
 
+@pytest.mark.slow
 def test_facenet_training_loss_decreases():
     from face_recognition_models_tpu.config import FaceNetConfig
     from face_recognition_models_tpu.data.synthetic import synthetic_identities

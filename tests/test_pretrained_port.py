@@ -121,7 +121,8 @@ def _randomize(model, seed):
 
 @pytest.mark.parametrize("name,block,stages",
                          [("resnet18", _BasicBlock, (2, 2, 2, 2)),
-                          ("resnet50", _Bottleneck, (3, 4, 6, 3))])
+                          pytest.param("resnet50", _Bottleneck, (3, 4, 6, 3),
+                                       marks=pytest.mark.slow)])
 def test_port_matches_torch_golden_activations(name, block, stages):
     from face_recognition_models_tpu.models import get_backbone
     from face_recognition_models_tpu.utils.torch_port import (

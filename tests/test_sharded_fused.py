@@ -31,6 +31,7 @@ def _setup(name, seed=0):
 @pytest.mark.parametrize("name", ["arcface", "cosface", "curricularface",
                                   "mv_softmax", "magface", "adaface"])
 @pytest.mark.parametrize("model_axis", [2, 4])
+@pytest.mark.slow
 def test_sharded_matches_unsharded(name, model_axis):
     mesh = make_mesh(cfg_lib.MeshConfig(data=8 // model_axis,
                                         model=model_axis))
@@ -90,6 +91,7 @@ def test_indivisible_classes_raise():
                                 jnp.zeros((8, 2)), 0)
 
 
+@pytest.mark.slow
 def test_fused_sharded_train_step():
     """Full train step with the fused head on a DP x class-TP mesh."""
     from face_recognition_models_tpu.models.resnet import BasicBlock, ResNet
@@ -147,3 +149,52 @@ def test_fused_sharded_train_step():
         assert losses[-1] < losses[0]
     finally:
         fa.fused_apply = orig
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("name", ["vpl_arcface", "qaface"])
+def test_sharded_mem_head_matches_jnp(name):
+    """Class-sharded memory-blended heads: memn/lam shard over the class
+    axis with wn; loss, grads, and state must match the jnp path."""
+    mesh = make_mesh(cfg_lib.MeshConfig(data=4, model=2))
+    cfg = cfg_lib.make_head_config(name, feature_dim=D, num_classes=C,
+                                   delta=2)
+    head = get_head(name)
+    rng = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    kernel = head.init_kernel(k1, cfg)
+    feats = 10.0 * jax.random.normal(k2, (N, D), jnp.float32)
+    labels = jax.random.randint(k2, (N,), 0, C)
+    minput = (feats + 2.0 * jax.random.normal(k3, (N, D), jnp.float32)
+              if name == "qaface" else None)
+    # one warm-up step so memories are active
+    state = head.apply(cfg, kernel, feats, labels, head.init_state(cfg),
+                       minput=minput).state
+
+    def loss_sharded(kernel, feats):
+        out = fused_apply(cfg, kernel, feats, labels, state, minput=minput,
+                          block_n=8, block_c=16, interpret=True, mesh=mesh)
+        return out.loss_id
+
+    def loss_jnp(kernel, feats):
+        out = head.apply(cfg, kernel, feats, labels, state, minput=minput)
+        return mean_cross_entropy(out.logits, labels)
+
+    ls, (gks, gfs) = jax.value_and_grad(loss_sharded, argnums=(0, 1))(
+        kernel, feats)
+    lj, (gkj, gfj) = jax.value_and_grad(loss_jnp, argnums=(0, 1))(kernel,
+                                                                  feats)
+    np.testing.assert_allclose(float(ls), float(lj), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gks), np.asarray(gkj),
+                               rtol=5e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gfs), np.asarray(gfj),
+                               rtol=5e-4, atol=1e-6)
+    # state updates must match too (fused path computes them in jnp)
+    out_s = fused_apply(cfg, kernel, feats, labels, state, minput=minput,
+                        block_n=8, block_c=16, interpret=True, mesh=mesh)
+    out_j = head.apply(cfg, kernel, feats, labels, state, minput=minput)
+    for a, b in zip(jax.tree.leaves(out_s.state),
+                    jax.tree.leaves(out_j.state)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-5, atol=1e-6)

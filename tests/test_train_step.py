@@ -192,6 +192,7 @@ def test_global_batch_ema_under_dp():
         float(state2_out.head_state.batch_mean[0]), rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_dropout_backbone_train_step():
     """Backbones with dropout/stochastic-depth need rngs plumbed through
     the train step (loop sets has_dropout for effnet/mbv2)."""
