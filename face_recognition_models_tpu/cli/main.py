@@ -243,16 +243,25 @@ def cmd_eval(args) -> int:
 
 def _add_preprocess_parser(sub):
     p = sub.add_parser("preprocess",
-                       help="offline face alignment to 112x112")
+                       help="offline face alignment to 112x112 (MTCNN "
+                            "cascade; WITHOUT weights it degrades to "
+                            "center-crop+resize, no detection)")
     p.add_argument("--input", required=True)
     p.add_argument("--output", required=True)
     p.add_argument("--image-size", type=int, default=112)
+    p.add_argument("--mtcnn-weights", default=None, metavar="DIR",
+                   help="directory containing facenet_pytorch's "
+                        "pnet.pt/rnet.pt/onet.pt (enables real detection "
+                        "via the native JAX cascade)")
     return p
 
 
 def cmd_preprocess(args) -> int:
     from face_recognition_models_tpu.data.preprocess import preprocess_dataset
-    preprocess_dataset(args.input, args.output, image_size=args.image_size)
+    stats = preprocess_dataset(args.input, args.output,
+                               image_size=args.image_size,
+                               mtcnn_weights=args.mtcnn_weights)
+    print(f"preprocess done: {stats}")
     return 0
 
 

@@ -5,10 +5,16 @@ detect+align each face with MTCNN (image_size=112, thresholds
 [0.5, 0.7, 0.7], factor 0.709, post_process=False), save aligned JPEGs,
 copying the original when no face is found.
 
-MTCNN comes from facenet_pytorch when installed; in environments without it
-the fallback is a square center-crop + resize (no detection) with a clear
-warning — pre-aligned datasets (the normal case for CASIA/LFW packs) pass
-through unchanged either way.
+Detection backends, in preference order:
+1. the native JAX MTCNN cascade (detection/mtcnn.py) with weights loaded
+   from a facenet_pytorch pnet.pt/rnet.pt/onet.pt directory
+   (`face preprocess --mtcnn-weights <dir>`, or auto-discovered from an
+   installed facenet_pytorch package);
+2. facenet_pytorch's own MTCNN when that package is installed;
+3. LOUD fallback: square center-crop + resize — NO face detection. The
+   CLI prints a warning and `preprocess_dataset` reports fallback=True.
+   Pre-aligned datasets (the normal case for CASIA/LFW packs) pass through
+   unchanged either way.
 """
 
 from __future__ import annotations
@@ -22,14 +28,45 @@ import numpy as np
 _IMAGE_EXTS = (".png", ".jpg", ".jpeg")
 
 
-def _build_mtcnn(image_size: int):
+def _find_facenet_pytorch_weights() -> Optional[str]:
+    try:
+        import facenet_pytorch
+        d = os.path.join(os.path.dirname(facenet_pytorch.__file__), "data")
+        if all(os.path.exists(os.path.join(d, f))
+               for f in ("pnet.pt", "rnet.pt", "onet.pt")):
+            return d
+    except ImportError:
+        pass
+    return None
+
+
+def _build_mtcnn(image_size: int, weights_dir: Optional[str] = None):
+    """Native JAX cascade when weights are available, else the
+    facenet_pytorch detector, else None (fallback)."""
+    weights_dir = weights_dir or _find_facenet_pytorch_weights()
+    if weights_dir is not None:
+        from face_recognition_models_tpu.detection import (
+            MTCNN as JaxMTCNN,
+            load_facenet_pytorch_weights,
+        )
+        params = load_facenet_pytorch_weights(weights_dir)
+        det = JaxMTCNN(params, image_size=image_size, min_face_size=20,
+                       thresholds=(0.5, 0.7, 0.7), factor=0.709)
+        return lambda im: det.extract(np.asarray(im))
     try:
         import torch
         from facenet_pytorch import MTCNN
         device = "cuda" if torch.cuda.is_available() else "cpu"
-        return MTCNN(image_size=image_size, margin=0, min_face_size=20,
-                     thresholds=[0.5, 0.7, 0.7], factor=0.709,
-                     post_process=False, device=device)
+        det = MTCNN(image_size=image_size, margin=0, min_face_size=20,
+                    thresholds=[0.5, 0.7, 0.7], factor=0.709,
+                    post_process=False, device=device)
+
+        def run(im):
+            face = det(im)
+            if face is None:
+                return None
+            return face.permute(1, 2, 0).byte().numpy()
+        return run
     except ImportError:
         return None
 
@@ -42,18 +79,20 @@ def _center_crop_resize(im, size: int):
 
 
 def preprocess_dataset(original_path: str, aligned_path: str,
-                       image_size: int = 112) -> dict:
+                       image_size: int = 112,
+                       mtcnn_weights: Optional[str] = None) -> dict:
     """Align every image under original_path into aligned_path (same tree).
 
     Returns counters: {'aligned': n, 'copied': n, 'fallback': bool}.
     """
     from PIL import Image
 
-    mtcnn = _build_mtcnn(image_size)
+    mtcnn = _build_mtcnn(image_size, weights_dir=mtcnn_weights)
     if mtcnn is None:
-        print("WARNING: facenet_pytorch not installed — falling back to "
-              "center-crop+resize (no face detection). Pre-aligned data is "
-              "unaffected.")
+        print("WARNING: no MTCNN weights available — falling back to "
+              "center-crop+resize (NO face detection). Provide "
+              "--mtcnn-weights <dir with pnet.pt/rnet.pt/onet.pt> or "
+              "install facenet_pytorch. Pre-aligned data is unaffected.")
 
     os.makedirs(aligned_path, exist_ok=True)
     stats = {"aligned": 0, "copied": 0, "fallback": mtcnn is None}
@@ -69,11 +108,9 @@ def preprocess_dataset(original_path: str, aligned_path: str,
             with Image.open(src) as im:
                 im = im.convert("RGB")
                 if mtcnn is not None:
-                    face = mtcnn(im)
+                    face = mtcnn(im)  # uint8 [S, S, 3] or None
                     if face is not None:
-                        arr = face.permute(1, 2, 0).byte().numpy()
-                        Image.fromarray(arr).resize(
-                            (image_size, image_size)).save(dst)
+                        Image.fromarray(face).save(dst)
                         stats["aligned"] += 1
                     else:
                         shutil.copy(src, dst)  # no face: keep original
