@@ -14,6 +14,7 @@ from typing import Any
 import jax.numpy as jnp
 
 from face_recognition_models_tpu.models.efficientnet import efficientnet_b0
+from face_recognition_models_tpu.models.inception import inception_v3
 from face_recognition_models_tpu.models.mobilenet import mobilenet_v2
 from face_recognition_models_tpu.models.resnet import resnet18, resnet50
 
@@ -22,6 +23,9 @@ BACKBONES = {
     "resnet50": resnet50,
     "efficientnet_b0": efficientnet_b0,
     "mobilenet_v2": mobilenet_v2,
+    # FaceNet's default trunk (reference FaceNet/main.py:15-24); not part
+    # of the reference's margin-head backbone set but available everywhere.
+    "inception_v3": inception_v3,
 }
 
 

@@ -1,10 +1,10 @@
 """FaceNet-style embedding network.
 
 Equivalent of the reference's EmbeddingNet (FaceNet/main.py:15-42): CNN
-trunk -> 128-d projection -> L2 normalization. The reference offers an
-Inception-v3 or ResNet-50 trunk; here the trunk is any registered backbone
-(ResNet-50 default — Inception-v3 is not provided; ResNet-50 is the
-reference's own alternative trunk, main.py:25-28).
+trunk -> 128-d projection -> L2 normalization. Both reference trunks are
+available: Inception-v3 (the reference default, main.py:15-24 —
+`models/inception.py`) and ResNet-50 (main.py:25-28, the default here for
+its better size/speed at 112 px).
 """
 
 from __future__ import annotations

@@ -36,14 +36,15 @@ def make_triplet_train_step(model, tx: optax.GradientTransformation,
                             mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)
                             ) -> Callable:
     def train_step(state: TripletTrainState, images, labels):
-        rng, mine_rng = jax.random.split(state.rng)
+        rng, mine_rng, dropout_rng = jax.random.split(state.rng, 3)
         if images.dtype == jnp.uint8:
             images = normalize_images(images, mean, std)
 
         def loss_fn(params):
             emb, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                images, train=True, mutable=["batch_stats"])
+                images, train=True, mutable=["batch_stats"],
+                rngs={"dropout": dropout_rng})
             loss = semi_hard_triplet_loss(emb, labels, margin, mine_rng)
             return loss, mutated["batch_stats"]
 

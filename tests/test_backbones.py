@@ -58,3 +58,30 @@ def test_bf16_compute_fp32_params():
         assert leaf.dtype == jnp.float32
     out = model.apply(variables, x, train=False)
     assert out.dtype == jnp.bfloat16
+
+
+@pytest.mark.slow
+def test_inception_v3_shapes_and_facenet_trunk():
+    """Inception-v3 (the reference FaceNet default trunk) at 112px."""
+    from face_recognition_models_tpu.models.facenet import facenet_embedding
+
+    model = get_backbone("inception_v3", embed_dim=64, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 112, 112, 3))
+    variables = model.init({"params": rng, "dropout": rng}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 64)
+    # torchvision-compatible module naming for future state-dict ports
+    assert "Mixed_7c" in variables["params"]
+    assert "Conv2d_1a_3x3" in variables["params"]
+
+    # too-small inputs are rejected with a clear error
+    with pytest.raises(ValueError, match=">= 75"):
+        model.init(rng, jnp.zeros((1, 32, 32, 3)), train=False)
+
+    # the FaceNet wrapper runs with the inception trunk (unit-norm output)
+    fn = facenet_embedding("inception_v3", embed_dim=32)
+    v = fn.init({"params": rng, "dropout": rng}, x, train=False)
+    emb = fn.apply(v, x, train=False)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0,
+                               rtol=1e-5)
