@@ -320,6 +320,83 @@ def cmd_facenet(args) -> int:
     return 0
 
 
+def _add_export_parser(sub):
+    p = sub.add_parser("export", help="export a trained backbone as a "
+                                      "self-contained serving artifact "
+                                      "(StableHLO via jax.export; symbolic "
+                                      "batch dim)")
+    p.add_argument("--checkpoint-dir", required=True,
+                   help="model checkpoint dir (the train run's "
+                        "<working>/checkpoints/<name>)")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--output", required=True, metavar="FILE.frte")
+    p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
+    p.add_argument("--platforms", default=None,
+                   help="comma list of lowering targets (e.g. tpu,cpu); "
+                        "default: current backend")
+    return p
+
+
+def cmd_export(args) -> int:
+    import jax
+    import numpy as np
+
+    from face_recognition_models_tpu.checkpoint import CheckpointManager
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.serving import export_embedder
+
+    model = get_backbone(args.backbone)
+    dummy = np.zeros((1, args.image_size, args.image_size, 3), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           dummy, train=False)
+    abstract = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+    finals = sorted(d for d in os.listdir(args.checkpoint_dir)
+                    if d.endswith("_final"))
+    if not finals:
+        print(f"error: no *_final checkpoint under {args.checkpoint_dir} "
+              "(train to completion first)", file=sys.stderr)
+        return 1
+    mgr = CheckpointManager(args.checkpoint_dir,
+                            finals[0][:-len("_final")])
+    restored = mgr.restore_final(abstract)
+    platforms = args.platforms.split(",") if args.platforms else None
+    header = export_embedder(model, restored["params"],
+                             restored["batch_stats"], args.output,
+                             image_size=args.image_size,
+                             platforms=platforms,
+                             meta={"backbone": args.backbone})
+    print(f"exported {args.backbone} -> {args.output} "
+          f"(platforms {header['platforms']}, {header['embed_dim']}-d)")
+    return 0
+
+
+def _add_embed_parser(sub):
+    p = sub.add_parser("embed", help="batch-embed an image tree to .npz "
+                                     "(production inference)")
+    p.add_argument("--input", required=True, help="image tree root")
+    p.add_argument("--output", required=True, metavar="FILE.npz")
+    p.add_argument("--model", default=None,
+                   help="serving artifact from `face export`")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="alternatively: a training checkpoint dir")
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--num-workers", type=int, default=8)
+    return p
+
+
+def cmd_embed(args) -> int:
+    from face_recognition_models_tpu.serving.embed import run_embed_cli
+    return run_embed_cli(
+        input_dir=args.input, output=args.output, model_path=args.model,
+        checkpoint_dir=args.checkpoint_dir, backbone=args.backbone,
+        image_size=args.image_size, batch_size=args.batch_size,
+        num_workers=args.num_workers)
+
+
 def cmd_list(args) -> int:
     print("heads:     ", ", ".join(available_heads()))
     print("backbones:  resnet18, resnet50, efficientnet_b0, mobilenet_v2")
@@ -344,6 +421,8 @@ def main(argv=None) -> int:
     _add_eval_parser(sub)
     _add_preprocess_parser(sub)
     _add_facenet_parser(sub)
+    _add_export_parser(sub)
+    _add_embed_parser(sub)
     sub.add_parser("list", help="list available heads/backbones")
 
     args = parser.parse_args(argv)
@@ -364,6 +443,10 @@ def main(argv=None) -> int:
         return cmd_eval(args)
     if args.command == "preprocess":
         return cmd_preprocess(args)
+    if args.command == "export":
+        return cmd_export(args)
+    if args.command == "embed":
+        return cmd_embed(args)
     if args.command == "list":
         return cmd_list(args)
     parser.error(f"unknown command {args.command}")

@@ -1,0 +1,9 @@
+from face_recognition_models_tpu.serving.export import (
+    EmbedderArtifact,
+    export_embedder,
+    load_embedder,
+)
+from face_recognition_models_tpu.serving.embed import embed_directory
+
+__all__ = ["EmbedderArtifact", "export_embedder", "load_embedder",
+           "embed_directory"]

@@ -1,0 +1,113 @@
+"""Batch embedding extraction: directory of images -> embeddings on disk.
+
+`face embed` — production inference over an image tree at the device rate:
+the threaded Loader (native libjpeg decode, uint8 transfer) feeds either a
+serving artifact (`--model embedder.frte`) or a checkpointed backbone, and
+the L2-normalized embeddings land in an .npz (embeddings [N, D] fp32 +
+relative paths). The reference has no equivalent (its embeddings only ever
+exist inside the eval loop).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+
+class _FlatIndex:
+    """Minimal Loader-compatible index over ANY image tree, in stable
+    sorted order (no identity-folder requirement, no shuffle)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        rels = []
+        for r, _dirs, files in os.walk(root):
+            for f in files:
+                if f.lower().endswith((".jpg", ".jpeg", ".png")):
+                    rels.append(os.path.relpath(os.path.join(r, f), root))
+        if not rels:
+            raise FileNotFoundError(f"no images under {root}")
+        self.rels = sorted(rels)
+
+    def absolute_paths(self):
+        return [os.path.join(self.root, r) for r in self.rels]
+
+    def labels(self):
+        return [0] * len(self.rels)
+
+    def __len__(self):
+        return len(self.rels)
+
+
+def embed_directory(embed_fn: Callable, root: str, image_size: int,
+                    batch_size: int = 256, num_workers: int = 8,
+                    l2_normalize: bool = True
+                    ) -> Tuple[np.ndarray, list]:
+    """Embed every image under `root` (any nesting). Returns
+    (embeddings [N, D] fp32, relative paths). Order matches paths.
+
+    The last batch is padded (static device shapes) by repeating the final
+    image; padding rows are dropped from the result."""
+    from face_recognition_models_tpu.data.pipeline import Loader
+
+    index = _FlatIndex(root)
+    n = len(index)
+    pad = (-n) % batch_size
+    if pad:
+        index.rels = index.rels + index.rels[-1:] * pad
+    loader = Loader(index, batch_size=batch_size, image_size=image_size,
+                    shuffle=False, num_workers=num_workers,
+                    drop_remainder=False)
+
+    chunks = []
+    for images, _labels in loader.epoch(0):
+        chunks.append(np.asarray(embed_fn(images), np.float32))
+    emb = np.concatenate(chunks, axis=0)[:n]
+    paths = index.rels[:n]
+    if l2_normalize:
+        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+    return emb, list(paths)
+
+
+def run_embed_cli(input_dir: str, output: str,
+                  model_path: Optional[str] = None,
+                  checkpoint_dir: Optional[str] = None,
+                  backbone: str = "resnet50", which: str = "final",
+                  image_size: int = 112, batch_size: int = 256,
+                  num_workers: int = 8) -> int:
+    if model_path is not None:
+        from face_recognition_models_tpu.serving.export import load_embedder
+        art = load_embedder(model_path)
+        embed_fn, image_size = art.fn, art.image_size
+    elif checkpoint_dir is not None:
+        import jax
+
+        from face_recognition_models_tpu.checkpoint import CheckpointManager
+        from face_recognition_models_tpu.models import get_backbone
+        from face_recognition_models_tpu.train.step import make_eval_step
+
+        model = get_backbone(backbone)
+        dummy = np.zeros((1, image_size, image_size, 3), np.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0),
+                                "dropout": jax.random.PRNGKey(0)},
+                               dummy, train=False)
+        abstract = {"params": variables["params"],
+                    "batch_stats": variables.get("batch_stats", {})}
+        mgr = CheckpointManager(checkpoint_dir, os.path.basename(
+            checkpoint_dir.rstrip("/")))
+        restored = mgr.restore_final(abstract)
+        eval_step = jax.jit(make_eval_step(model))
+        embed_fn = lambda im: eval_step(restored["params"],
+                                        restored["batch_stats"], im)
+    else:
+        print("error: provide --model or --checkpoint-dir")
+        return 2
+
+    emb, paths = embed_directory(embed_fn, input_dir, image_size,
+                                 batch_size, num_workers)
+    np.savez(output, embeddings=emb, paths=np.asarray(paths))
+    print(f"embedded {len(paths)} images -> {output} "
+          f"({emb.shape[1]}-d, L2-normalized)")
+    return 0

@@ -1,0 +1,101 @@
+"""Serving path: export -> self-contained artifact -> load -> embed.
+
+The artifact must reproduce the live model's embeddings exactly, accept
+ANY batch size (symbolic batch dim), and `embed_directory` must preserve
+file order and handle non-multiple-of-batch counts.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from face_recognition_models_tpu.models.resnet import BasicBlock, ResNet
+from face_recognition_models_tpu.serving import (
+    embed_directory,
+    export_embedder,
+    load_embedder,
+)
+from face_recognition_models_tpu.train.step import make_eval_step
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = ResNet(stage_sizes=(1, 1, 1, 1), block=BasicBlock,
+                   num_filters=8, embed_dim=16)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    return model, variables
+
+
+def test_export_load_roundtrip(tmp_path, tiny_model):
+    model, variables = tiny_model
+    path = str(tmp_path / "embedder.frte")
+    header = export_embedder(model, variables["params"],
+                             variables.get("batch_stats", {}), path,
+                             image_size=32, meta={"backbone": "tiny"})
+    assert header["embed_dim"] == 16 and header["image_size"] == 32
+
+    art = load_embedder(path)
+    assert art.embed_dim == 16 and art.meta["backbone"] == "tiny"
+
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 256, (4, 32, 32, 3), np.uint8)
+    got = art.fn(images)
+
+    eval_step = jax.jit(make_eval_step(model))
+    ref = np.asarray(eval_step(variables["params"],
+                               variables.get("batch_stats", {}), images))
+    # bf16 backbone: the exported program may fuse differently than the
+    # live jit — agreement is at bf16 resolution
+    np.testing.assert_allclose(got, ref, rtol=1e-2, atol=1e-2)
+
+
+def test_export_symbolic_batch(tmp_path, tiny_model):
+    """One artifact serves every batch size."""
+    model, variables = tiny_model
+    path = str(tmp_path / "embedder.frte")
+    export_embedder(model, variables["params"],
+                    variables.get("batch_stats", {}), path, image_size=32)
+    art = load_embedder(path)
+    for b in (1, 3, 8):
+        out = art.fn(np.zeros((b, 32, 32, 3), np.uint8))
+        assert out.shape == (b, 16)
+
+
+def test_load_rejects_garbage(tmp_path):
+    path = tmp_path / "junk.frte"
+    path.write_bytes(b"NOPE" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="bad magic"):
+        load_embedder(str(path))
+
+
+def test_embed_directory_order_and_padding(tmp_path, tiny_model):
+    from PIL import Image
+
+    model, variables = tiny_model
+    rs = np.random.RandomState(0)
+    names = ["b/y.jpg", "a/x.jpg", "a/z.png", "c.jpg", "b/w.jpg"]
+    for name in names:
+        p = tmp_path / "imgs" / name
+        p.parent.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(rs.randint(0, 256, (32, 32, 3), np.uint8)).save(p)
+
+    eval_step = jax.jit(make_eval_step(model))
+    embed_fn = lambda im: eval_step(variables["params"],
+                                    variables.get("batch_stats", {}), im)
+    # batch 2 over 5 images: padding + remainder path
+    emb, paths = embed_directory(embed_fn, str(tmp_path / "imgs"),
+                                 image_size=32, batch_size=2, num_workers=2)
+    assert paths == sorted(paths) and len(paths) == 5
+    assert emb.shape == (5, 16)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
+
+    # order is content-correct: re-embed one file directly and compare
+    from face_recognition_models_tpu.data.pipeline import _decode_image
+    i = paths.index("c.jpg")
+    one = _decode_image(str(tmp_path / "imgs" / "c.jpg"), 32)[None]
+    ref = np.array(embed_fn(one), np.float32)
+    ref /= np.linalg.norm(ref)
+    np.testing.assert_allclose(emb[i], ref[0], rtol=1e-4, atol=1e-5)
