@@ -85,17 +85,30 @@ class Bottleneck(nn.Module):
 class _Conv1Param(nn.Module):
     """Bare [7, 7, 3, F] kernel parameter named exactly like nn.Conv's, so
     the space-to-depth stem keeps the conv7 param tree (checkpoint- and
-    torch-port-compatible)."""
+    torch-port-compatible). With use_bias (BN-folded inference) a bias
+    param is added, matching nn.Conv's naming."""
 
     features: int
+    use_bias: bool = False
 
     @nn.compact
     def __call__(self):
-        return self.param("kernel", nn.initializers.lecun_normal(),
-                          (7, 7, 3, self.features), jnp.float32)
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias
 
 
-def _space_to_depth_stem(x, kernel, dtype):
+class _FoldedNorm(nn.Module):
+    """Identity stand-in for BatchNorm in BN-folded inference models (the
+    affine+stats are folded into the preceding conv's kernel/bias)."""
+
+    def __call__(self, x):
+        return x
+
+
+def _space_to_depth_stem(x, kernel, dtype, bias=None):
     """The 7x7/s2 stem conv re-expressed on a 2x2 space-to-depth input.
 
     A 3-channel conv wastes the MXU's 128-lane input dimension (3 of 128
@@ -113,10 +126,13 @@ def _space_to_depth_stem(x, kernel, dtype):
     wp = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))
     w2 = wp.reshape(4, 2, 4, 2, 3, f).transpose(0, 2, 1, 3, 4, 5)
     w2 = w2.reshape(4, 4, 12, f)
-    return jax.lax.conv_general_dilated(
+    out = jax.lax.conv_general_dilated(
         xs.astype(dtype), w2.astype(dtype), window_strides=(1, 1),
         padding=[(2, 1), (2, 1)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if bias is not None:
+        out = out + bias.astype(dtype)
+    return out
 
 
 class ResNet(nn.Module):
@@ -130,6 +146,9 @@ class ResNet(nn.Module):
     # 'space_to_depth' (default; numerically identical, ~MXU-efficient stem)
     # or 'conv7' (direct 7x7/s2). Both use the same [7,7,3,F] conv1 param.
     stem: str = "space_to_depth"
+    # BN-folded inference mode: convs carry biases, norms are identity.
+    # Params come from models.folding.fold_resnet_bn (serving/export).
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -137,20 +156,26 @@ class ResNet(nn.Module):
             raise ValueError(
                 f"Expected NHWC input [N, H, W, 3], got {x.shape}. "
                 "(PyTorch-style NCHW must be transposed.)")
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+        if self.folded and train:
+            raise ValueError("BN-folded models are inference-only")
+        conv = partial(nn.Conv, use_bias=self.folded, dtype=self.dtype,
                        param_dtype=jnp.float32)
-        # BatchNorm statistics and affine math in fp32 for stability; the
-        # surrounding convs run in bf16 on the MXU.
-        norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
-                       param_dtype=jnp.float32)
+        if self.folded:
+            norm = _FoldedNorm
+        else:
+            # BatchNorm statistics and affine math in fp32 for stability;
+            # the surrounding convs run in bf16 on the MXU.
+            norm = partial(nn.BatchNorm, use_running_average=not train,
+                           momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                           param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
         use_s2d = (self.stem == "space_to_depth"
                    and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0)
         if use_s2d:
-            kernel = _Conv1Param(self.num_filters, name="conv1")()
-            x = _space_to_depth_stem(x, kernel, self.dtype)
+            kernel, bias = _Conv1Param(self.num_filters, self.folded,
+                                       name="conv1")()
+            x = _space_to_depth_stem(x, kernel, self.dtype, bias)
         else:
             x = conv(self.num_filters, (7, 7), strides=(2, 2),
                      padding=[(3, 3), (3, 3)], name="conv1")(x)

@@ -41,13 +41,29 @@ def export_embedder(backbone, params, batch_stats, path: str,
                     image_size: int = 112,
                     mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
                     platforms: Optional[Sequence[str]] = None,
+                    fold_bn: str = "never",
                     meta: Optional[dict] = None) -> dict:
     """Export (backbone, weights) as a serving artifact at `path`.
 
     platforms: lowering targets (e.g. ["tpu", "cpu"]); defaults to the
-    current backend. Returns the written header dict.
+    current backend. fold_bn: "always" folds BatchNorm into conv weights
+    for ResNet backbones (inference-exact). Default "never": measured on
+    TPU v5e the folded graph is ~8% SLOWER (12.49 vs 11.44 ms/b512) — XLA
+    already fuses the BN affine into the conv epilogue, and per-conv
+    bias-adds lower worse; folding only helps backends without that fusion.
+    Returns the written header dict.
     """
     from face_recognition_models_tpu.train.step import make_eval_step
+
+    folded = False
+    if fold_bn == "always":
+        from face_recognition_models_tpu.models.folding import fold_resnet_bn
+        from face_recognition_models_tpu.models.resnet import ResNet
+        if isinstance(backbone, ResNet) and not backbone.folded:
+            params = fold_resnet_bn(params, batch_stats)
+            batch_stats = {}
+            backbone = backbone.clone(folded=True)
+            folded = True
 
     eval_step = make_eval_step(backbone, mean=mean, std=std)
     params = jax.tree.map(jnp.asarray, params)
@@ -72,6 +88,7 @@ def export_embedder(backbone, params, batch_stats, path: str,
         "image_size": image_size,
         "embed_dim": embed_dim,
         "platforms": list(exported.platforms),
+        "bn_folded": folded,
         **(meta or {}),
     }
     blob = exported.serialize()

@@ -99,3 +99,56 @@ def test_embed_directory_order_and_padding(tmp_path, tiny_model):
     ref = np.array(embed_fn(one), np.float32)
     ref /= np.linalg.norm(ref)
     np.testing.assert_allclose(emb[i], ref[0], rtol=1e-4, atol=1e-5)
+
+
+def test_bn_folding_exact():
+    """Folded ResNet (fp32) must reproduce the live eval model exactly:
+    BN at inference is an affine, folding is mathematically exact."""
+    from face_recognition_models_tpu.models.folding import fold_resnet_bn
+
+    model = ResNet(stage_sizes=(1, 1, 1, 1), block=BasicBlock,
+                   num_filters=8, embed_dim=16, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    variables = model.init(rng, jnp.zeros((1, 32, 32, 3)), train=False)
+    # non-trivial BN stats: run a few train steps' worth of stats updates
+    x = jax.random.normal(rng, (8, 32, 32, 3))
+    _, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    params, stats = variables["params"], mutated["batch_stats"]
+
+    folded_params = fold_resnet_bn(params, stats)
+    fmodel = model.clone(folded=True)
+    imgs = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 32, 3))
+    with jax.default_matmul_precision("float32"):
+        ref = model.apply({"params": params, "batch_stats": stats}, imgs,
+                          train=False)
+        got = fmodel.apply({"params": folded_params, "batch_stats": {}},
+                           imgs, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+    # folded models refuse train mode
+    with pytest.raises(ValueError, match="inference-only"):
+        fmodel.apply({"params": folded_params, "batch_stats": {}}, imgs,
+                     train=True)
+
+
+def test_export_folds_bn_for_resnet(tmp_path, tiny_model):
+    model, variables = tiny_model
+    # give BN stats real values so folding actually changes the math
+    x = jax.random.normal(jax.random.PRNGKey(3), (8, 32, 32, 3))
+    _, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    params, stats = variables["params"], mutated["batch_stats"]
+    path = str(tmp_path / "folded.frte")
+    header = export_embedder(model, params, stats, path, image_size=32,
+                             fold_bn="always")
+    assert header["bn_folded"] is True
+    art = load_embedder(path)
+    images = np.random.RandomState(0).randint(0, 256, (2, 32, 32, 3),
+                                              np.uint8)
+    from face_recognition_models_tpu.train.step import make_eval_step
+    ref = np.asarray(jax.jit(make_eval_step(model))(params, stats, images))
+    # bf16 backbone: folding reroutes where the bf16 rounding happens
+    # (scaled kernels vs post-conv affine); fp32 exactness is pinned by
+    # test_bn_folding_exact above.
+    np.testing.assert_allclose(art.fn(images), ref, rtol=2e-2, atol=2e-2)
