@@ -132,9 +132,13 @@ def cmd_train(args) -> int:
             parts = [ImageFolderIndex.build(root)]
         index = (parts[0] if len(parts) == 1
                  else ImageFolderIndex.concat(parts))
+        import jax
+        shard = ((jax.process_index(), jax.process_count())
+                 if jax.process_count() > 1 else None)  # --multihost
         loader = Loader(index, batch_size=cfg.batch_size,
                         image_size=cfg.data.image_size,
-                        num_workers=cfg.data.num_workers, seed=cfg.seed)
+                        num_workers=cfg.data.num_workers, seed=cfg.seed,
+                        shard=shard)
 
     # --- logging: console + log/<model>.txt tee (arcface.py:14-18) ---
     from face_recognition_models_tpu.checkpoint import CheckpointManager

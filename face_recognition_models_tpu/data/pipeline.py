@@ -57,7 +57,13 @@ class Loader:
                  image_size: int = 112, shuffle: bool = True,
                  seed: int = 0, num_workers: int = 8,
                  drop_remainder: bool = True, prefetch: int = 2,
-                 backend: str = "auto"):
+                 backend: str = "auto",
+                 shard: Optional[Tuple[int, int]] = None):
+        """shard=(rank, count): multi-host data parallelism — this process
+        loads only its 1/count slice of each (globally shuffled) epoch, so
+        under `jax.distributed` every host feeds distinct samples. The
+        shuffle order is a pure function of (seed, epoch): all hosts agree
+        without communication."""
         self.index = index
         self.batch_size = batch_size
         self.image_size = image_size
@@ -66,6 +72,11 @@ class Loader:
         self.num_workers = num_workers
         self.drop_remainder = drop_remainder
         self.prefetch = prefetch
+        if shard is not None:
+            rank, count = shard
+            if not 0 <= rank < count:
+                raise ValueError(f"bad shard {shard}")
+        self.shard = shard
         self._paths = index.absolute_paths()
         self._labels = np.asarray(index.labels(), dtype=np.int32)
         self.skipped_images = 0  # corrupt-image counter (observability)
@@ -86,14 +97,24 @@ class Loader:
                 raise RuntimeError("native decode backend unavailable")
         self.backend = "native" if self._native else "pil"
 
-    def steps_per_epoch(self) -> int:
+    def _shard_len(self) -> int:
         n = len(self._paths)
+        if self.shard is None:
+            return n
+        rank, count = self.shard
+        return n // count + (1 if rank < n % count else 0)
+
+    def steps_per_epoch(self) -> int:
+        n = self._shard_len()
         return n // self.batch_size if self.drop_remainder else -(-n // self.batch_size)
 
     def _epoch_order(self, epoch: int) -> np.ndarray:
         order = np.arange(len(self._paths))
         if self.shuffle:
             np.random.RandomState(self.seed + epoch).shuffle(order)
+        if self.shard is not None:
+            rank, count = self.shard
+            order = order[rank::count]
         return order
 
     def _load_batch(self, pool: cf.ThreadPoolExecutor, idxs: np.ndarray,
