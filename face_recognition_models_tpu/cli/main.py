@@ -133,9 +133,15 @@ def cmd_train(args) -> int:
         index = (parts[0] if len(parts) == 1
                  else ImageFolderIndex.concat(parts))
         import jax
-        shard = ((jax.process_index(), jax.process_count())
-                 if jax.process_count() > 1 else None)  # --multihost
-        loader = Loader(index, batch_size=cfg.batch_size,
+        # --multihost: cfg.batch_size is the GLOBAL batch; each host loads
+        # its 1/P slice of every epoch and fit() assembles global arrays.
+        n_proc = jax.process_count()
+        shard = (jax.process_index(), n_proc) if n_proc > 1 else None
+        if cfg.batch_size % n_proc:
+            print(f"error: batch_size {cfg.batch_size} must divide across "
+                  f"{n_proc} hosts", file=sys.stderr)
+            return 2
+        loader = Loader(index, batch_size=cfg.batch_size // n_proc,
                         image_size=cfg.data.image_size,
                         num_workers=cfg.data.num_workers, seed=cfg.seed,
                         shard=shard)

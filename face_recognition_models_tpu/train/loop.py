@@ -144,8 +144,24 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
                             in_shardings=(shardings, chunk_s, chunk_s),
                             out_shardings=(shardings, None),
                             donate_argnums=(0,))
-        put = lambda x: jax.device_put(x, data_s)
-        put_chunk = lambda x: jax.device_put(x, chunk_s)
+        n_proc = jax.process_count()
+        if n_proc > 1:
+            # Multihost: each process holds its LOCAL data shard (the
+            # Loader's shard=(rank, count) slice); assemble the global
+            # batch from per-process shards. cfg.batch_size is the GLOBAL
+            # batch — callers feed batch_size // process_count per host.
+            def put(x):
+                gshape = (x.shape[0] * n_proc,) + x.shape[1:]
+                return jax.make_array_from_process_local_data(
+                    data_s, x, gshape)
+
+            def put_chunk(x):
+                gshape = (x.shape[0], x.shape[1] * n_proc) + x.shape[2:]
+                return jax.make_array_from_process_local_data(
+                    chunk_s, x, gshape)
+        else:
+            put = lambda x: jax.device_put(x, data_s)
+            put_chunk = lambda x: jax.device_put(x, chunk_s)
     else:
         if head.requires_minput:
             jit_step = jax.jit(lambda s, im, lb, mi: step_fn(s, im, lb, mi),
