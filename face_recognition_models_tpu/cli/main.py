@@ -38,7 +38,8 @@ def _add_train_parser(sub):
     p.add_argument("--pretrained", default=None, metavar="STATE_DICT.pth",
                    help="torch backbone state_dict to initialize from "
                         "(the reference trains from ImageNet-pretrained "
-                        "torchvision weights; resnet18/resnet50)")
+                        "torchvision weights; resnet18/resnet50/"
+                        "efficientnet_b0/mobilenet_v2)")
     p.add_argument("--dataset-path", default=os.environ.get("DATASET_PATH", ""))
     p.add_argument("--working-path", default=os.environ.get("WORKING_PATH",
                                                             "./working"))

@@ -75,8 +75,11 @@ class MobileNetV2(nn.Module):
                 "(PyTorch-style NCHW must be transposed.)")
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)
+        # torchvision's mobilenet_v2 uses default BatchNorm2d eps=1e-5;
+        # match it so ported ImageNet weights (utils/torch_port.py) are
+        # numerically faithful.
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-3, dtype=jnp.float32,
+                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
                        param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)

@@ -25,7 +25,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from face_recognition_models_tpu.ops.fused_head import (
     FusedHeadOut,
@@ -97,5 +97,5 @@ def sharded_fused_margin_ce(mesh: Mesh, xn, wn, labels, t, tcos, scale, ab,
         shard_fn, mesh=mesh,
         in_specs=in_specs,
         out_specs=FusedHeadOut(lse=row, target_logit=row, higher=row),
-        check_rep=False,
+        check_vma=False,
     )(*operands)

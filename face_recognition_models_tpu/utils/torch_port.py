@@ -3,8 +3,9 @@
 The reference initializes its backbones from ImageNet-pretrained
 torchvision weights (backbones.py:12-26). This environment has no download
 egress, so pretrained init is delivered as a converter: load a torchvision
-`state_dict` (resnet18/resnet50) from disk and map it onto the Flax ResNet
-param/batch-stats pytree (NCHW->NHWC kernel transposes included).
+`state_dict` (resnet18/resnet50/efficientnet_b0/mobilenet_v2) from disk and
+map it onto the Flax param/batch-stats pytree (NCHW->NHWC kernel transposes
+included).
 
 Usage:
     import torch
@@ -92,7 +93,126 @@ def port_torchvision_resnet(state_dict: Dict, variables: Dict,
     return params, stats
 
 
+def _set_bn(dst_params, dst_stats, name, src):
+    dst_params[name] = {"scale": src["scale"], "bias": src["bias"]}
+    dst_stats[name] = {"mean": src["mean"], "var": src["var"]}
+
+
+def _linear_port(state_dict, params, src, dst_params):
+    """Port a torch Linear onto a flax Dense iff the out-dims match."""
+    if src + ".weight" not in state_dict:
+        return
+    w = _np(state_dict[src + ".weight"])  # [out, in]
+    if w.shape[0] == dst_params["kernel"].shape[1]:
+        dst_params["kernel"] = w.T
+        dst_params["bias"] = _np(state_dict[src + ".bias"])
+
+
+def port_torchvision_mobilenet_v2(state_dict: Dict, variables: Dict
+                                  ) -> Tuple[Dict, Dict]:
+    """Map a torchvision mobilenet_v2 state_dict onto our MobileNetV2.
+
+    torchvision layout (models/mobilenetv2.py): features.0 = stem
+    Conv2dNormActivation; features.1..17 = InvertedResidual whose `.conv`
+    sequential is [expand CNA,] depthwise CNA, project conv, project bn
+    (the expand stage is absent when expand_ratio == 1); features.18 =
+    head CNA; classifier.1 = Linear. The reference swaps classifier[1]
+    for a 512-d embedding (backbones.py:24-26).
+    """
+    import jax
+
+    from face_recognition_models_tpu.models.mobilenet import _MBV2_SETTINGS
+
+    params = jax.tree.map(np.asarray, jax.device_get(variables["params"]))
+    stats = jax.tree.map(np.asarray, jax.device_get(variables["batch_stats"]))
+
+    params["stem"] = {"kernel": _conv(state_dict, "features.0.0.weight")}
+    _set_bn(params, stats, "stem_bn", _bn(state_dict, "features.0.1"))
+
+    feat = 1
+    for i, (t, _ch, n, _s) in enumerate(_MBV2_SETTINGS):
+        for j in range(n):
+            src = f"features.{feat}.conv"
+            p, s = params[f"block{i}_{j}"], stats[f"block{i}_{j}"]
+            k = 0
+            if t != 1:
+                p["expand"] = {"kernel": _conv(state_dict,
+                                               f"{src}.{k}.0.weight")}
+                _set_bn(p, s, "expand_bn", _bn(state_dict, f"{src}.{k}.1"))
+                k += 1
+            p["depthwise"] = {"kernel": _conv(state_dict,
+                                              f"{src}.{k}.0.weight")}
+            _set_bn(p, s, "depthwise_bn", _bn(state_dict, f"{src}.{k}.1"))
+            p["project"] = {"kernel": _conv(state_dict,
+                                            f"{src}.{k + 1}.weight")}
+            _set_bn(p, s, "project_bn", _bn(state_dict, f"{src}.{k + 2}"))
+            feat += 1
+
+    params["head"] = {"kernel": _conv(state_dict, f"features.{feat}.0.weight")}
+    _set_bn(params, stats, "head_bn", _bn(state_dict, f"features.{feat}.1"))
+    _linear_port(state_dict, params, "classifier.1", params["fc"])
+
+    _check_congruent(variables["params"], params, "params")
+    _check_congruent(variables["batch_stats"], stats, "batch_stats")
+    return params, stats
+
+
+def port_torchvision_efficientnet_b0(state_dict: Dict, variables: Dict
+                                     ) -> Tuple[Dict, Dict]:
+    """Map a torchvision efficientnet_b0 state_dict onto our EfficientNetB0.
+
+    torchvision layout (models/efficientnet.py): features.0 = stem CNA;
+    features.1..7 = stages of MBConv whose `.block` sequential is
+    [expand CNA,] depthwise CNA, SqueezeExcitation(fc1/fc2), project CNA
+    (expand absent when expand_ratio == 1); features.8 = head CNA;
+    classifier.1 = Linear (the reference swaps it, backbones.py:20-22).
+    """
+    import jax
+
+    from face_recognition_models_tpu.models.efficientnet import _B0_SETTINGS
+
+    params = jax.tree.map(np.asarray, jax.device_get(variables["params"]))
+    stats = jax.tree.map(np.asarray, jax.device_get(variables["batch_stats"]))
+
+    params["stem"] = {"kernel": _conv(state_dict, "features.0.0.weight")}
+    _set_bn(params, stats, "stem_bn", _bn(state_dict, "features.0.1"))
+
+    for i, (t, _ch, n, _s, _k) in enumerate(_B0_SETTINGS):
+        for j in range(n):
+            src = f"features.{i + 1}.{j}.block"
+            p, s = params[f"block{i}_{j}"], stats[f"block{i}_{j}"]
+            k = 0
+            if t != 1:
+                p["expand"] = {"kernel": _conv(state_dict,
+                                               f"{src}.{k}.0.weight")}
+                _set_bn(p, s, "expand_bn", _bn(state_dict, f"{src}.{k}.1"))
+                k += 1
+            p["depthwise"] = {"kernel": _conv(state_dict,
+                                              f"{src}.{k}.0.weight")}
+            _set_bn(p, s, "depthwise_bn", _bn(state_dict, f"{src}.{k}.1"))
+            p["se"] = {
+                "reduce": {"kernel": _conv(state_dict,
+                                           f"{src}.{k + 1}.fc1.weight"),
+                           "bias": _np(state_dict[f"{src}.{k + 1}.fc1.bias"])},
+                "expand": {"kernel": _conv(state_dict,
+                                           f"{src}.{k + 1}.fc2.weight"),
+                           "bias": _np(state_dict[f"{src}.{k + 1}.fc2.bias"])},
+            }
+            p["project"] = {"kernel": _conv(state_dict,
+                                            f"{src}.{k + 2}.0.weight")}
+            _set_bn(p, s, "project_bn", _bn(state_dict, f"{src}.{k + 2}.1"))
+
+    params["head"] = {"kernel": _conv(state_dict, "features.8.0.weight")}
+    _set_bn(params, stats, "head_bn", _bn(state_dict, "features.8.1"))
+    _linear_port(state_dict, params, "classifier.1", params["fc"])
+
+    _check_congruent(variables["params"], params, "params")
+    _check_congruent(variables["batch_stats"], stats, "batch_stats")
+    return params, stats
+
+
 _RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
+_PORTERS = ("resnet18", "resnet50", "efficientnet_b0", "mobilenet_v2")
 
 
 def load_pretrained_backbone(path: str, backbone_name: str, variables: Dict
@@ -101,17 +221,17 @@ def load_pretrained_backbone(path: str, backbone_name: str, variables: Dict
 
     This is the `face train --pretrained <file.pth>` entry point, the
     equivalent of the reference's ImageNet-pretrained init
-    (backbones.py:12-26). Accepts either a bare state_dict or a checkpoint
-    dict wrapping one under 'state_dict'/'model'. The embedding `fc` layer
-    is only ported when its output dim matches (torchvision classifiers
-    don't; the reference swaps them for a fresh 512-d layer too).
+    (backbones.py:12-26) for all four reference backbones. Accepts either a
+    bare state_dict or a checkpoint dict wrapping one under
+    'state_dict'/'model'. The embedding `fc` layer is only ported when its
+    output dim matches (torchvision classifiers don't; the reference swaps
+    them for a fresh 512-d layer too).
     """
     name = backbone_name.lower()
-    if name not in _RESNET_STAGES:
+    if name not in _PORTERS:
         raise ValueError(
-            f"--pretrained supports {sorted(_RESNET_STAGES)}; got "
-            f"'{backbone_name}' (port efficientnet/mobilenet weights "
-            "manually or train from scratch)")
+            f"--pretrained supports {sorted(_PORTERS)}; got "
+            f"'{backbone_name}'")
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
@@ -119,6 +239,10 @@ def load_pretrained_backbone(path: str, backbone_name: str, variables: Dict
         if isinstance(sd, dict) and wrapper in sd and not hasattr(
                 sd[wrapper], "shape"):
             sd = sd[wrapper]
+    if name == "efficientnet_b0":
+        return port_torchvision_efficientnet_b0(sd, variables)
+    if name == "mobilenet_v2":
+        return port_torchvision_mobilenet_v2(sd, variables)
     return port_torchvision_resnet(sd, variables, _RESNET_STAGES[name],
                                    port_fc=True)
 

@@ -168,7 +168,155 @@ def test_load_pretrained_backbone_file_roundtrip(tmp_path):
         tmodel.state_dict()["conv1.weight"].numpy().transpose(2, 3, 1, 0))
 
     with pytest.raises(ValueError, match="pretrained supports"):
-        load_pretrained_backbone(str(path), "mobilenet_v2", variables)
+        load_pretrained_backbone(str(path), "vgg16", variables)
+
+
+# ---------------------------------------------------------------------------
+# Minimal torchvision-compatible MobileNetV2 / EfficientNet-B0 replicas
+# (state_dict-key compatible with torchvision, so the porters are exercised
+# against the real checkpoint layout: models/mobilenetv2.py features.N.conv
+# sequentials, models/efficientnet.py features.N.M.block + SE fc1/fc2).
+# ---------------------------------------------------------------------------
+
+
+class _TorchInvertedResidual(tnn.Module):
+    def __init__(self, in_c, out_c, stride, t):
+        super().__init__()
+        hid = in_c * t
+        self.use_skip = stride == 1 and in_c == out_c
+        layers = []
+        if t != 1:
+            layers.append(tnn.Sequential(
+                tnn.Conv2d(in_c, hid, 1, bias=False), tnn.BatchNorm2d(hid),
+                tnn.ReLU6()))
+        layers.append(tnn.Sequential(
+            tnn.Conv2d(hid, hid, 3, stride, 1, groups=hid, bias=False),
+            tnn.BatchNorm2d(hid), tnn.ReLU6()))
+        layers.append(tnn.Conv2d(hid, out_c, 1, bias=False))
+        layers.append(tnn.BatchNorm2d(out_c))
+        self.conv = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        y = self.conv(x)
+        return x + y if self.use_skip else y
+
+
+class _TorchMobileNetV2(tnn.Module):
+    _SETTINGS = ((1, 16, 1, 1), (6, 24, 2, 2), (6, 32, 3, 2), (6, 64, 4, 2),
+                 (6, 96, 3, 1), (6, 160, 3, 2), (6, 320, 1, 1))
+
+    def __init__(self, embed_dim=512):
+        super().__init__()
+        feats = [tnn.Sequential(tnn.Conv2d(3, 32, 3, 2, 1, bias=False),
+                                tnn.BatchNorm2d(32), tnn.ReLU6())]
+        in_c = 32
+        for t, c, n, s in self._SETTINGS:
+            for j in range(n):
+                feats.append(_TorchInvertedResidual(
+                    in_c, c, s if j == 0 else 1, t))
+                in_c = c
+        feats.append(tnn.Sequential(tnn.Conv2d(in_c, 1280, 1, bias=False),
+                                    tnn.BatchNorm2d(1280), tnn.ReLU6()))
+        self.features = tnn.Sequential(*feats)
+        self.classifier = tnn.Sequential(tnn.Dropout(0.2),
+                                         tnn.Linear(1280, embed_dim))
+
+    def forward(self, x):
+        x = self.features(x).mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+class _TorchSqueezeExcite(tnn.Module):
+    def __init__(self, hid, squeeze):
+        super().__init__()
+        self.fc1 = tnn.Conv2d(hid, squeeze, 1)
+        self.fc2 = tnn.Conv2d(squeeze, hid, 1)
+
+    def forward(self, x):
+        s = x.mean(dim=(2, 3), keepdim=True)
+        s = torch.nn.functional.silu(self.fc1(s))
+        return x * torch.sigmoid(self.fc2(s))
+
+
+class _TorchMBConv(tnn.Module):
+    def __init__(self, in_c, out_c, stride, t, k):
+        super().__init__()
+        hid = in_c * t
+        self.use_skip = stride == 1 and in_c == out_c
+        layers = []
+        if t != 1:
+            layers.append(tnn.Sequential(
+                tnn.Conv2d(in_c, hid, 1, bias=False), tnn.BatchNorm2d(hid),
+                tnn.SiLU()))
+        layers.append(tnn.Sequential(
+            tnn.Conv2d(hid, hid, k, stride, k // 2, groups=hid, bias=False),
+            tnn.BatchNorm2d(hid), tnn.SiLU()))
+        layers.append(_TorchSqueezeExcite(hid, max(1, in_c // 4)))
+        layers.append(tnn.Sequential(tnn.Conv2d(hid, out_c, 1, bias=False),
+                                     tnn.BatchNorm2d(out_c)))
+        self.block = tnn.Sequential(*layers)
+
+    def forward(self, x):
+        y = self.block(x)
+        return x + y if self.use_skip else y  # eval: no stochastic depth
+
+
+class _TorchEfficientNetB0(tnn.Module):
+    _SETTINGS = ((1, 16, 1, 1, 3), (6, 24, 2, 2, 3), (6, 40, 2, 2, 5),
+                 (6, 80, 3, 2, 3), (6, 112, 3, 1, 5), (6, 192, 4, 2, 5),
+                 (6, 320, 1, 1, 3))
+
+    def __init__(self, embed_dim=512):
+        super().__init__()
+        feats = [tnn.Sequential(tnn.Conv2d(3, 32, 3, 2, 1, bias=False),
+                                tnn.BatchNorm2d(32), tnn.SiLU())]
+        in_c = 32
+        for t, c, n, s, k in self._SETTINGS:
+            stage = []
+            for j in range(n):
+                stage.append(_TorchMBConv(in_c, c, s if j == 0 else 1, t, k))
+                in_c = c
+            feats.append(tnn.Sequential(*stage))
+        feats.append(tnn.Sequential(tnn.Conv2d(in_c, 1280, 1, bias=False),
+                                    tnn.BatchNorm2d(1280), tnn.SiLU()))
+        self.features = tnn.Sequential(*feats)
+        self.classifier = tnn.Sequential(tnn.Dropout(0.2),
+                                         tnn.Linear(1280, embed_dim))
+
+    def forward(self, x):
+        x = self.features(x).mean(dim=(2, 3))
+        return self.classifier(x)
+
+
+@pytest.mark.parametrize("name,cls", [
+    ("mobilenet_v2", _TorchMobileNetV2),
+    pytest.param("efficientnet_b0", _TorchEfficientNetB0,
+                 marks=pytest.mark.slow)])
+def test_port_matches_torch_golden_activations_mobile(name, cls):
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.utils.torch_port import (
+        port_torchvision_efficientnet_b0,
+        port_torchvision_mobilenet_v2,
+    )
+
+    tmodel = _randomize(cls(), seed=11).eval()
+    rs = np.random.RandomState(1)
+    x = rs.randn(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        golden = tmodel(torch.from_numpy(x)).numpy()
+
+    jmodel = get_backbone(name, dtype=jnp.float32)
+    variables = jmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), train=False)
+    porter = (port_torchvision_mobilenet_v2 if name == "mobilenet_v2"
+              else port_torchvision_efficientnet_b0)
+    params, stats = porter(tmodel.state_dict(), variables)
+
+    with jax.default_matmul_precision("float32"):
+        out = jmodel.apply({"params": params, "batch_stats": stats},
+                           jnp.asarray(x.transpose(0, 2, 3, 1)), train=False)
+    np.testing.assert_allclose(np.asarray(out), golden, rtol=2e-3,
+                               atol=2e-4 * float(np.abs(golden).max()))
 
 
 def test_cli_train_with_pretrained(tmp_path):
