@@ -171,6 +171,30 @@ def test_load_pretrained_backbone_file_roundtrip(tmp_path):
         load_pretrained_backbone(str(path), "vgg16", variables)
 
 
+def test_load_pretrained_backbone_dispatches_mobilenet(tmp_path):
+    """The file-loading entry point routes mobilenet_v2 to its porter."""
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.utils.torch_port import (
+        load_pretrained_backbone)
+
+    tmodel = _randomize(_TorchMobileNetV2(), seed=13)
+    path = tmp_path / "mb2.pth"
+    torch.save(tmodel.state_dict(), path)
+
+    jmodel = get_backbone("mobilenet_v2", dtype=jnp.float32)
+    variables = jmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), train=False)
+    params, stats = load_pretrained_backbone(str(path), "mobilenet_v2",
+                                             variables)
+    np.testing.assert_allclose(
+        params["stem"]["kernel"],
+        tmodel.state_dict()["features.0.0.weight"].numpy()
+        .transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        stats["head_bn"]["mean"],
+        tmodel.state_dict()["features.18.1.running_mean"].numpy())
+
+
 # ---------------------------------------------------------------------------
 # Minimal torchvision-compatible MobileNetV2 / EfficientNet-B0 replicas
 # (state_dict-key compatible with torchvision, so the porters are exercised
