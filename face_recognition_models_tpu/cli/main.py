@@ -118,21 +118,12 @@ def cmd_train(args) -> int:
                              seed=cfg.seed)
     else:
         from face_recognition_models_tpu.data import ImageFolderIndex, Loader
+        from face_recognition_models_tpu.data.packed import (
+            PackedDataset, PackedLoader, is_packed_dir)
         if not args.dataset_path:
             print("error: --dataset-path required (or --synthetic)",
                   file=sys.stderr)
             return 2
-        root = os.path.join(args.dataset_path, "CASIA-WebFace")
-        parts = []
-        for split in ("train", "valid"):  # ConcatDataset (model_utils:549-551)
-            try:
-                parts.append(ImageFolderIndex.build(root, split=split))
-            except FileNotFoundError:
-                pass
-        if not parts:
-            parts = [ImageFolderIndex.build(root)]
-        index = (parts[0] if len(parts) == 1
-                 else ImageFolderIndex.concat(parts))
         import jax
         # --multihost: cfg.batch_size is the GLOBAL batch; each host loads
         # its 1/P slice of every epoch and fit() assembles global arrays.
@@ -142,10 +133,32 @@ def cmd_train(args) -> int:
             print(f"error: batch_size {cfg.batch_size} must divide across "
                   f"{n_proc} hosts", file=sys.stderr)
             return 2
-        loader = Loader(index, batch_size=cfg.batch_size // n_proc,
-                        image_size=cfg.data.image_size,
-                        num_workers=cfg.data.num_workers, seed=cfg.seed,
-                        shard=shard)
+        if is_packed_dir(args.dataset_path):
+            # pre-decoded pack from `face pack`: no JPEG work on the host
+            packed = PackedDataset.open(args.dataset_path)
+            if packed.num_identities > args.num_classes:
+                print(f"error: pack has {packed.num_identities} identities "
+                      f"> --num-classes {args.num_classes}", file=sys.stderr)
+                return 2
+            loader = PackedLoader(packed,
+                                  batch_size=cfg.batch_size // n_proc,
+                                  seed=cfg.seed, shard=shard)
+        else:
+            root = os.path.join(args.dataset_path, "CASIA-WebFace")
+            parts = []
+            for split in ("train", "valid"):  # ConcatDataset (model_utils:549-551)
+                try:
+                    parts.append(ImageFolderIndex.build(root, split=split))
+                except FileNotFoundError:
+                    pass
+            if not parts:
+                parts = [ImageFolderIndex.build(root)]
+            index = (parts[0] if len(parts) == 1
+                     else ImageFolderIndex.concat(parts))
+            loader = Loader(index, batch_size=cfg.batch_size // n_proc,
+                            image_size=cfg.data.image_size,
+                            num_workers=cfg.data.num_workers, seed=cfg.seed,
+                            shard=shard)
 
     # --- logging: console + log/<model>.txt tee (arcface.py:14-18) ---
     from face_recognition_models_tpu.checkpoint import CheckpointManager
@@ -273,6 +286,54 @@ def cmd_preprocess(args) -> int:
                                image_size=args.image_size,
                                mtcnn_weights=args.mtcnn_weights)
     print(f"preprocess done: {stats}")
+    return 0
+
+
+def _add_pack_parser(sub):
+    p = sub.add_parser("pack",
+                       help="decode an identity tree ONCE into a uint8 "
+                            "memmap pack; `face train --dataset-path "
+                            "<pack>` then trains with zero JPEG decode "
+                            "on the hot path")
+    p.add_argument("--dataset-path", required=True,
+                   help="identity tree root (same layouts as train: "
+                        "<root>/CASIA-WebFace[/{train,valid}]/<id>/*.jpg, "
+                        "or a bare <root>/<id>/*.jpg tree)")
+    p.add_argument("--output", required=True, metavar="DIR")
+    p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--backend", choices=["auto", "native", "pil"],
+                   default="auto")
+    return p
+
+
+def cmd_pack(args) -> int:
+    from face_recognition_models_tpu.data import ImageFolderIndex
+    from face_recognition_models_tpu.data.packed import pack_dataset
+
+    root = os.path.join(args.dataset_path, "CASIA-WebFace")
+    if not os.path.isdir(root):
+        root = args.dataset_path
+    parts = []
+    for split in ("train", "valid"):
+        try:
+            parts.append(ImageFolderIndex.build(root, split=split))
+        except FileNotFoundError:
+            pass
+    if not parts:
+        parts = [ImageFolderIndex.build(root)]
+    index = (parts[0] if len(parts) == 1
+             else ImageFolderIndex.concat(parts))
+    t0 = time.time()
+    meta = pack_dataset(index, args.output, image_size=args.image_size,
+                        num_workers=args.num_workers, backend=args.backend,
+                        progress_every=50_000)
+    dt = time.time() - t0
+    print(f"packed {meta['num_samples']} images "
+          f"({meta['num_samples'] * args.image_size**2 * 3 / 1e9:.2f} GB, "
+          f"{len(meta['identities'])} identities) in {dt:.0f}s "
+          f"via {meta['decode_backend']} decode; "
+          f"{meta['skipped_images']} corrupt resampled -> {args.output}")
     return 0
 
 
@@ -431,6 +492,7 @@ def main(argv=None) -> int:
     _add_train_parser(sub)
     _add_eval_parser(sub)
     _add_preprocess_parser(sub)
+    _add_pack_parser(sub)
     _add_facenet_parser(sub)
     _add_export_parser(sub)
     _add_embed_parser(sub)
@@ -454,6 +516,8 @@ def main(argv=None) -> int:
         return cmd_eval(args)
     if args.command == "preprocess":
         return cmd_preprocess(args)
+    if args.command == "pack":
+        return cmd_pack(args)
     if args.command == "export":
         return cmd_export(args)
     if args.command == "embed":

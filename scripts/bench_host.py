@@ -99,6 +99,28 @@ def main():
             out.append({"metric": f"loader_feed_{backend}", "value": rate,
                         "unit": "img/s"})
 
+        # --- 3. packed (pre-decoded) feed rate -----------------------------
+        from face_recognition_models_tpu.data.packed import (
+            PackedDataset,
+            PackedLoader,
+            pack_dataset,
+        )
+        pack_dir = os.path.join(root, "pack")
+        t0 = time.perf_counter()
+        pack_dataset(index, pack_dir, image_size=IMAGE_SIZE, num_workers=8)
+        out.append({"metric": "pack_build", "value":
+                    len(index) / (time.perf_counter() - t0), "unit": "img/s"})
+        ds = PackedDataset.open(pack_dir)
+        ploader = PackedLoader(ds, batch_size=BATCH, seed=0)
+        n = ploader.steps_per_epoch() * BATCH
+
+        def drain_packed():
+            for _ in ploader.epoch(0):
+                pass
+        rate = bench(drain_packed, n, repeats=3)
+        out.append({"metric": "loader_feed_packed", "value": rate,
+                    "unit": "img/s"})
+
     native_core = next(o["value"] for o in out
                        if o["metric"] == "decode_native_t1")
     for target, label in ((5000, "target_5k"), (9300, "train_9k3"),
