@@ -203,13 +203,15 @@ def cmd_train(args) -> int:
                 import jax
 
                 from face_recognition_models_tpu.evaluation.batch_eval import (
-                    evaluate_model_on_benchmark)
-                from face_recognition_models_tpu.train.step import (
-                    make_eval_step)
-                eval_step = jax.jit(make_eval_step(result.backbone))
-                params = result.state.params["backbone"]
-                stats = result.state.batch_stats
-                embed = lambda imgs: eval_step(params, stats, imgs)
+                    evaluate_model_on_benchmark, make_embed_fn)
+                mesh = None
+                if jax.device_count() > 1:
+                    from face_recognition_models_tpu.parallel import make_mesh
+                    mesh = make_mesh(cfg_lib.MeshConfig(
+                        data=jax.device_count(), model=1))
+                embed = make_embed_fn(result.backbone,
+                                      result.state.params["backbone"],
+                                      result.state.batch_stats, mesh=mesh)
                 for bench in args.benchmarks.split(","):
                     try:
                         res = evaluate_model_on_benchmark(

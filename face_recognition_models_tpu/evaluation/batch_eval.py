@@ -27,6 +27,45 @@ from face_recognition_models_tpu.evaluation.verification import (
 )
 
 
+def make_embed_fn(model, params, batch_stats, mesh=None):
+    """Jitted `embed_fn(uint8 images) -> raw embeddings`.
+
+    With `mesh`, the image batch shards over the mesh's 'data' axis so
+    every chip embeds 1/data-th of each batch (the reference evaluates on
+    one GPU only, evaluate_models.py:58-64; on a pod this keeps all chips
+    busy during the 5-benchmark sweep). Params/stats replicate. The batch
+    size must divide by the data-axis size — embed_unique_images pads
+    every batch to a fixed size, so pick batch_size as a multiple.
+    """
+    import jax
+
+    from face_recognition_models_tpu.train.step import make_eval_step
+
+    eval_step = make_eval_step(model)
+    if mesh is None:
+        jit_step = jax.jit(eval_step)
+        return lambda imgs: jit_step(params, batch_stats, imgs)
+
+    from face_recognition_models_tpu.parallel import (
+        batch_sharding,
+        replicated,
+    )
+    rep, data_s = replicated(mesh), batch_sharding(mesh)
+    jit_step = jax.jit(eval_step, in_shardings=(rep, rep, data_s))
+    params = jax.device_put(params, rep)
+    batch_stats = jax.device_put(batch_stats, rep)
+    n_data = mesh.shape["data"]
+
+    def embed(imgs):
+        if imgs.shape[0] % n_data:
+            raise ValueError(
+                f"batch {imgs.shape[0]} not divisible by mesh data axis "
+                f"{n_data}")
+        return jit_step(params, batch_stats, imgs)
+
+    return embed
+
+
 def _load_benchmark_images(pairs: np.ndarray, imgs_dir: str,
                            image_size: int) -> Dict[int, np.ndarray]:
     from PIL import Image
@@ -79,7 +118,17 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
 
     from face_recognition_models_tpu.checkpoint import CheckpointManager
     from face_recognition_models_tpu.models import get_backbone
-    from face_recognition_models_tpu.train.step import make_eval_step
+
+    # DP the embedding passes over every available chip (mesh data axis).
+    mesh = None
+    if jax.device_count() > 1:
+        from face_recognition_models_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg_lib.MeshConfig(data=jax.device_count(),
+                                            model=1))
+        if batch_size % jax.device_count():
+            batch_size += jax.device_count() - batch_size % jax.device_count()
+            print(f"[mesh] rounded eval batch to {batch_size} "
+                  f"({jax.device_count()} devices)")
 
     if head is not None:
         model_names = [head]
@@ -123,9 +172,8 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
         except Exception as e:  # missing checkpoint: warn & skip (ref :44-46)
             print(f"[skip] {name}: could not load checkpoint ({e})")
             continue
-        eval_step = jax.jit(make_eval_step(model))
-        embed_fn = lambda imgs: eval_step(restored["params"],
-                                          restored["batch_stats"], imgs)
+        embed_fn = make_embed_fn(model, restored["params"],
+                                 restored["batch_stats"], mesh=mesh)
         acc_row, auc_row = {"model": name}, {"model": name}
         for bench in benchmarks:
             try:

@@ -87,3 +87,39 @@ def test_single_class_auc_zero():
     # protocol needs both classes for StratifiedKFold; test _auc convention
     from face_recognition_models_tpu.evaluation.verification import _auc
     assert _auc(labels, sims) == 0.0
+
+
+def test_sharded_embed_matches_single_device():
+    """make_embed_fn(mesh) shards the batch over the 'data' axis and must
+    produce the same embeddings as the plain single-device jit (the
+    reference evaluates on one GPU; on a pod all chips share the embed
+    pass)."""
+    import jax
+    import jax.numpy as jnp
+
+    from face_recognition_models_tpu.config import MeshConfig
+    from face_recognition_models_tpu.evaluation.batch_eval import (
+        make_embed_fn)
+    from face_recognition_models_tpu.evaluation.verification import (
+        embed_unique_images)
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.parallel import make_mesh
+
+    model = get_backbone("resnet18", dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 32, 32, 3)), train=False)
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    images = np.random.RandomState(0).randint(
+        0, 256, (24, 32, 32, 3), np.uint8)
+
+    single = embed_unique_images(
+        make_embed_fn(model, params, stats), images, batch_size=8)
+    mesh = make_mesh(MeshConfig(data=8, model=1))
+    sharded = embed_unique_images(
+        make_embed_fn(model, params, stats, mesh=mesh), images,
+        batch_size=8)
+    np.testing.assert_allclose(sharded, single, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="divisible"):
+        make_embed_fn(model, params, stats, mesh=mesh)(images[:3])
