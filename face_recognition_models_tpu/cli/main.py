@@ -61,6 +61,11 @@ def _add_train_parser(sub):
     p.add_argument("--scan-steps", type=int, default=1,
                    help="run K train steps per dispatch via lax.scan "
                         "(amortizes host/tunnel latency; 1 = off)")
+    p.add_argument("--partial-fc", type=float, default=0.0, metavar="RATIO",
+                   help="Partial-FC sampled classifier: run each step's "
+                        "softmax over the batch positives + RATIO*C "
+                        "sampled negatives (insightface large-C recipe; "
+                        "0 = dense; unsupported for vpl_arcface/qaface)")
     p.add_argument("--eval-after", action="store_true",
                    help="run benchmark verification after training (the "
                         "reference README claims this but never does it)")
@@ -97,6 +102,7 @@ def cmd_train(args) -> int:
                          else {"auto": "auto", "fused": True,
                                "jnp": False}[args.head_path]),
         scan_steps=args.scan_steps,
+        partial_fc=args.partial_fc,
         optimizer=cfg_lib.OptimizerConfig(learning_rate=args.learning_rate),
         mesh=cfg_lib.MeshConfig(data=args.mesh_data, model=args.mesh_model),
         data=cfg_lib.DataConfig(dataset_path=args.dataset_path,

@@ -321,6 +321,12 @@ class TrainConfig:
     # lax.scan inside a single dispatch (amortizes per-step host/tunnel
     # latency, like bench.py's eval loop). 1 = one dispatch per step.
     scan_steps: int = 1
+    # Partial-FC sampled classifier (insightface large-C technique; see
+    # train/partial_fc.py): each step's softmax runs over the batch's
+    # positive classes + this fraction of uniformly sampled negatives.
+    # 0.0 = dense (off). Not supported for the memory-blended heads
+    # (vpl_arcface, qaface).
+    partial_fc: float = 0.0
     optimizer: OptimizerConfig = OptimizerConfig()
     schedule: ScheduleConfig = ScheduleConfig()
     mesh: MeshConfig = MeshConfig()

@@ -101,13 +101,38 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
         mesh = mesh or make_mesh(cfg.mesh)
 
     has_dropout = cfg.backbone in ("efficientnet_b0", "mobilenet_v2")
-    step_fn = make_train_step(
-        backbone, head, head_cfg, tx, lambda_g=cfg.lambda_g,
-        lr_schedule=schedule if callable(schedule) else None,
-        has_dropout=has_dropout, mean=cfg.data.mean, std=cfg.data.std,
-        horizontal_flip=cfg.data.horizontal_flip,
-        use_fused_head=cfg.use_pallas_head,
-        mesh=mesh if use_mesh else None)
+    partial_fc = float(getattr(cfg, "partial_fc", 0.0))
+    if partial_fc > 0.0:
+        from face_recognition_models_tpu.train.partial_fc import (
+            init_partial_fc_opt_state,
+            make_partial_fc_train_step,
+            num_sampled_classes,
+        )
+        if use_mesh and mesh.shape.get("model", 1) > 1:
+            raise ValueError(
+                "partial_fc keeps the kernel replicated; use a data-only "
+                "mesh (model=1)")
+        n_sampled = num_sampled_classes(head_cfg.num_classes, partial_fc,
+                                        cfg.batch_size)
+        state = state.replace(
+            opt_state=init_partial_fc_opt_state(tx, state.params))
+        step_fn = make_partial_fc_train_step(
+            backbone, head, head_cfg, tx, n_sampled,
+            learning_rate=lr_for_tx,
+            momentum=cfg.optimizer.momentum,
+            weight_decay=cfg.optimizer.weight_decay,
+            nesterov=cfg.optimizer.nesterov,
+            lambda_g=cfg.lambda_g, has_dropout=has_dropout,
+            mean=cfg.data.mean, std=cfg.data.std,
+            horizontal_flip=cfg.data.horizontal_flip)
+    else:
+        step_fn = make_train_step(
+            backbone, head, head_cfg, tx, lambda_g=cfg.lambda_g,
+            lr_schedule=schedule if callable(schedule) else None,
+            has_dropout=has_dropout, mean=cfg.data.mean, std=cfg.data.std,
+            horizontal_flip=cfg.data.horizontal_flip,
+            use_fused_head=cfg.use_pallas_head,
+            mesh=mesh if use_mesh else None)
 
     scan_k = max(1, int(getattr(cfg, "scan_steps", 1)))
 

@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--path", choices=["auto", "fused", "jnp"],
                     default="auto")
+    ap.add_argument("--partial-fc", type=float, default=0.0,
+                    help="Partial-FC negative sample ratio (0 = dense)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -54,11 +56,28 @@ def main():
                                         num_classes=args.classes)
     tx = get_optimizer("sgd", 0.1, momentum=0.9, weight_decay=5e-4)
     backbone, head, state = create_train_state(cfg, head_cfg, tx)
-    use_fused = {"auto": "auto", "fused": True, "jnp": False}[args.path]
-    step_fn = make_train_step(
-        backbone, head, head_cfg, tx,
-        has_dropout=args.backbone in ("efficientnet_b0", "mobilenet_v2"),
-        use_fused_head=use_fused)
+    has_dropout = args.backbone in ("efficientnet_b0", "mobilenet_v2")
+    if args.partial_fc > 0.0:
+        from face_recognition_models_tpu.train.partial_fc import (
+            init_partial_fc_opt_state,
+            make_partial_fc_train_step,
+            num_sampled_classes,
+        )
+        n_sampled = num_sampled_classes(args.classes, args.partial_fc,
+                                        args.batch)
+        print(json.dumps({"metric": "partial_fc_sampled",
+                          "value": n_sampled, "unit": "classes"}))
+        state = state.replace(
+            opt_state=init_partial_fc_opt_state(tx, state.params))
+        step_fn = make_partial_fc_train_step(
+            backbone, head, head_cfg, tx, n_sampled, learning_rate=0.1,
+            has_dropout=has_dropout)
+    else:
+        use_fused = {"auto": "auto", "fused": True, "jnp": False}[args.path]
+        step_fn = make_train_step(
+            backbone, head, head_cfg, tx,
+            has_dropout=has_dropout,
+            use_fused_head=use_fused)
 
     rs = np.random.RandomState(0)
     images = rs.randint(0, 256, (args.scan, args.batch, args.image_size,

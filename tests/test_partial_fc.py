@@ -1,0 +1,170 @@
+"""Partial-FC sampled-classifier training (train/partial_fc.py).
+
+Beyond-reference feature (insightface's large-C recipe). Contracts under
+test: exact static-shape sampling (all positives present, negatives
+uniform without replacement and never positive), dense equivalence when
+the sample covers every class, torch-SGD column updates, and e2e
+integration through fit()."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.heads import get_head
+from face_recognition_models_tpu.train.optim import get_optimizer
+from face_recognition_models_tpu.train.partial_fc import (
+    init_partial_fc_opt_state,
+    make_partial_fc_train_step,
+    num_sampled_classes,
+    sample_classes,
+)
+from face_recognition_models_tpu.train.state import create_train_state
+from face_recognition_models_tpu.train.step import make_train_step
+
+
+def test_sample_classes_contract():
+    rng = jax.random.PRNGKey(0)
+    labels = jnp.array([5, 9, 5, 100, 9, 3], jnp.int32)
+    C, C_s = 128, 32
+    classes, col_valid, target = sample_classes(rng, labels, C, C_s)
+    classes, col_valid, target = map(np.asarray,
+                                     (classes, col_valid, target))
+    assert classes.shape == (C_s,) and target.shape == (6,)
+    # every label's class is present and target points at it
+    for i, lab in enumerate([5, 9, 5, 100, 9, 3]):
+        assert classes[target[i]] == lab and col_valid[target[i]]
+    # valid columns are distinct
+    valid_classes = classes[col_valid]
+    assert len(set(valid_classes.tolist())) == len(valid_classes)
+    # negatives (beyond the N positive slots) never collide with positives
+    assert not set(classes[len(labels):].tolist()) & {5, 9, 100, 3}
+    # padded positive slots (4 unique of 6) are masked out
+    assert col_valid.sum() == C_s - (6 - 4)
+
+
+def test_sample_classes_different_keys_differ():
+    labels = jnp.zeros((4,), jnp.int32)
+    a = np.asarray(sample_classes(jax.random.PRNGKey(1), labels, 512, 64)[0])
+    b = np.asarray(sample_classes(jax.random.PRNGKey(2), labels, 512, 64)[0])
+    assert not np.array_equal(a, b)
+
+
+def test_num_sampled_classes():
+    assert num_sampled_classes(1_048_576, 0.1, 512) == 104960  # 256-aligned
+    assert num_sampled_classes(1000, 0.9, 512) == 1000  # capped at C
+    assert num_sampled_classes(10575, 0.0, 512) == 512  # floor at batch
+
+
+def _make(head_name, C, batch, partial, image_size=24, seed=0, lr=0.1):
+    cfg = cfg_lib.TrainConfig(
+        backbone="resnet18", head=head_name, num_classes=C,
+        batch_size=batch,
+        data=cfg_lib.DataConfig(image_size=image_size))
+    head_cfg = cfg_lib.make_head_config(head_name, num_classes=C)
+    tx = get_optimizer("sgd", lr, momentum=0.9, weight_decay=5e-4)
+    backbone, head, state = create_train_state(cfg, head_cfg, tx,
+                                               rng=jax.random.PRNGKey(seed))
+    if partial is not None:
+        state = state.replace(
+            opt_state=init_partial_fc_opt_state(tx, state.params))
+        step = make_partial_fc_train_step(backbone, head, head_cfg, tx,
+                                          partial, learning_rate=lr)
+    else:
+        step = make_train_step(backbone, head, head_cfg, tx,
+                               use_fused_head=False)
+    return jax.jit(step), state
+
+
+def test_full_sample_matches_dense_step():
+    """With C_s == C the sampled step IS the dense step (columns permuted):
+    loss and the post-step kernel must match the dense path."""
+    C, batch = 64, 16
+    rs = np.random.RandomState(0)
+    images = rs.randint(0, 256, (batch, 24, 24, 3), np.uint8)
+    # distinct labels: duplicate labels leave padded (invalid) sample slots,
+    # so C_s == C covers every class only when the batch has N unique labels
+    labels = rs.choice(C, batch, replace=False).astype(np.int32)
+
+    dense_step, dense_state = _make("arcface", C, batch, None)
+    pfc_step, pfc_state = _make("arcface", C, batch, C)
+
+    d_state, d_metrics = dense_step(dense_state, images, labels)
+    p_state, p_metrics = pfc_step(pfc_state, images, labels)
+
+    # identical math modulo column permutation: CE's logsumexp reassociates
+    # over a permuted column order, so allow fp32 reassociation noise
+    np.testing.assert_allclose(float(p_metrics["loss"]),
+                               float(d_metrics["loss"]), rtol=2e-4)
+    np.testing.assert_allclose(float(p_metrics["acc1"]),
+                               float(d_metrics["acc1"]))
+    np.testing.assert_allclose(np.asarray(p_state.params["kernel_w"]),
+                               np.asarray(d_state.params["kernel_w"]),
+                               rtol=5e-3, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree.leaves(p_state.params["backbone"])[0]),
+        np.asarray(jax.tree.leaves(d_state.params["backbone"])[0]),
+        rtol=5e-3, atol=5e-5)
+
+
+def test_unsampled_columns_untouched():
+    C, batch, C_s = 256, 8, 32
+    rs = np.random.RandomState(1)
+    images = rs.randint(0, 256, (batch, 24, 24, 3), np.uint8)
+    labels = rs.randint(0, C, (batch,), np.int32)
+    step, state = _make("cosface", C, batch, C_s)
+    k0 = np.asarray(state.params["kernel_w"])
+    new_state, _ = step(state, images, labels)
+    k1 = np.asarray(new_state.params["kernel_w"])
+    changed = np.flatnonzero(np.any(k0 != k1, axis=0))
+    assert 0 < len(changed) <= C_s
+    # momentum exists only on touched columns
+    mom = np.asarray(new_state.opt_state["kernel_mom"])
+    assert set(np.flatnonzero(np.any(mom != 0, axis=0))) == set(changed)
+
+
+@pytest.mark.parametrize("head_name", ["arcface", "adaface", "magface",
+                                       "elastic_arcface"])
+def test_partial_fc_loss_decreases(head_name):
+    C, batch, C_s = 512, 16, 64
+    rs = np.random.RandomState(2)
+    # tiny separable problem: per-class constant images
+    labels = np.tile(np.arange(8, dtype=np.int32), 2)
+    images = (labels[:, None, None, None] * 29 % 255).astype(np.uint8) \
+        * np.ones((1, 24, 24, 3), np.uint8)
+    step, state = _make(head_name, C, batch, C_s, seed=3, lr=0.02)
+    losses = []
+    for _ in range(12):
+        state, metrics = step(state, images, labels)
+        losses.append(float(metrics["loss"]))
+    assert np.mean(losses[-3:]) < np.mean(losses[:3])
+    assert np.isfinite(losses).all()
+
+
+def test_memory_heads_rejected():
+    head_cfg = cfg_lib.make_head_config("vpl_arcface", num_classes=64)
+    tx = get_optimizer("sgd", 0.1)
+    with pytest.raises(ValueError, match="memory-blended"):
+        make_partial_fc_train_step(None, get_head("vpl_arcface"), head_cfg,
+                                   tx, 32, learning_rate=0.1)
+
+
+@pytest.mark.slow
+def test_fit_with_partial_fc():
+    """fit() end-to-end with cfg.partial_fc > 0 (loader -> sampled steps)."""
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities)
+    from face_recognition_models_tpu.train.loop import fit
+
+    images, labels = synthetic_identities(24, 8, image_size=24, seed=0)
+    loader = ArrayLoader(images, labels, batch_size=16, seed=0)
+    cfg = cfg_lib.TrainConfig(
+        backbone="resnet18", head="arcface", num_classes=24,
+        batch_size=16, epochs=2, partial_fc=0.99, use_pallas_head=False,
+        data=cfg_lib.DataConfig(image_size=24))
+    result = fit(cfg, loader, use_mesh=False)
+    assert np.isfinite(result.min_train_loss)
