@@ -59,10 +59,11 @@ def test_num_sampled_classes():
     assert num_sampled_classes(10575, 0.0, 512) == 512  # floor at batch
 
 
-def _make(head_name, C, batch, partial, image_size=24, seed=0, lr=0.1):
+def _make(head_name, C, batch, partial, image_size=24, seed=0, lr=0.1,
+          compute_dtype="bfloat16"):
     cfg = cfg_lib.TrainConfig(
         backbone="resnet18", head=head_name, num_classes=C,
-        batch_size=batch,
+        batch_size=batch, compute_dtype=compute_dtype,
         data=cfg_lib.DataConfig(image_size=image_size))
     head_cfg = cfg_lib.make_head_config(head_name, num_classes=C)
     tx = get_optimizer("sgd", lr, momentum=0.9, weight_decay=5e-4)
@@ -168,3 +169,48 @@ def test_fit_with_partial_fc():
         data=cfg_lib.DataConfig(image_size=24))
     result = fit(cfg, loader, use_mesh=False)
     assert np.isfinite(result.min_train_loss)
+
+
+def test_partial_fc_on_8_device_dp_mesh():
+    """Partial-FC under DP: kernel replicated, batch sharded over 'data';
+    the sampled-column updates must match the single-device run exactly
+    (same keyed sampling on every replica)."""
+    from face_recognition_models_tpu.parallel import (
+        batch_sharding,
+        make_mesh,
+        train_state_shardings,
+    )
+
+    assert jax.device_count() >= 8
+    C, batch, C_s = 256, 16, 64
+    rs = np.random.RandomState(4)
+    images = rs.randint(0, 256, (batch, 24, 24, 3), np.uint8)
+    labels = rs.randint(0, C, (batch,), np.int32)
+
+    # fp32 backbone: bf16 reduction reassociation under sharding swamps the
+    # per-column update comparison
+    step, state = _make("arcface", C, batch, C_s, seed=5,
+                        compute_dtype="float32")
+    mesh = make_mesh(cfg_lib.MeshConfig(data=8, model=1))
+    shardings = train_state_shardings(mesh, state, num_classes=C)
+    # partial-fc runs on data-only meshes: the kernel's 'model' spec is a
+    # no-op at model=1 (loop.py rejects model>1) and the momentum buffer
+    # replicates
+    assert mesh.shape["model"] == 1
+    assert (shardings.opt_state["kernel_mom"].spec
+            == jax.sharding.PartitionSpec())
+    data_s = batch_sharding(mesh)
+    st_mesh = jax.device_put(state, shardings)
+    step_mesh = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
+                        else step,
+                        in_shardings=(shardings, data_s, data_s),
+                        out_shardings=(shardings, None))
+    m_state, m_metrics = step_mesh(st_mesh, jax.device_put(images, data_s),
+                                   jax.device_put(labels, data_s))
+    s_state, s_metrics = step(state, images, labels)
+    # bf16 backbone reductions reassociate under sharding: ~1e-4 rel noise
+    np.testing.assert_allclose(float(m_metrics["loss"]),
+                               float(s_metrics["loss"]), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(m_state.params["kernel_w"]),
+                               np.asarray(s_state.params["kernel_w"]),
+                               rtol=1e-3, atol=1e-5)
