@@ -108,12 +108,21 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             make_partial_fc_train_step,
             num_sampled_classes,
         )
+        n_sampled = num_sampled_classes(head_cfg.num_classes, partial_fc,
+                                        cfg.batch_size)
+        if cfg.batch_size >= head_cfg.num_classes \
+                or n_sampled >= head_cfg.num_classes:
+            # sampling can't beat dense when the sample must cover (almost)
+            # every class; fall back rather than erroring on small C
+            print(f"[partial_fc] C={head_cfg.num_classes} too small for "
+                  f"batch {cfg.batch_size} / ratio {partial_fc} — using "
+                  "the dense path")
+            partial_fc = 0.0
+    if partial_fc > 0.0:
         if use_mesh and mesh.shape.get("model", 1) > 1:
             raise ValueError(
                 "partial_fc keeps the kernel replicated; use a data-only "
                 "mesh (model=1)")
-        n_sampled = num_sampled_classes(head_cfg.num_classes, partial_fc,
-                                        cfg.batch_size)
         state = state.replace(
             opt_state=init_partial_fc_opt_state(tx, state.params))
         step_fn = make_partial_fc_train_step(

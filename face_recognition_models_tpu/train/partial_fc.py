@@ -55,11 +55,17 @@ UNSUPPORTED_HEADS = ("vpl_arcface", "qaface")
 
 def num_sampled_classes(num_classes: int, sample_ratio: float,
                         batch_size: int, multiple: int = 256) -> int:
-    """C_s = max(batch, ratio*C) rounded up to a lane-friendly multiple,
-    capped at C (ratio >= 1 degenerates to the dense class set)."""
-    want = max(batch_size, int(num_classes * sample_ratio))
+    """C_s = max(2*batch, ratio*C) rounded up to a lane-friendly multiple,
+    capped at C.
+
+    The 2*batch floor guarantees at least `batch` negative slots: the
+    first `batch` slots hold the batch's (unique) positives, so C_s near
+    batch would leave the softmax with almost no negatives — measured to
+    stall margin training entirely (PERF.md round-2 notes). Callers (fit)
+    fall back to the dense path when the cap C is reached."""
+    want = max(2 * batch_size, int(num_classes * sample_ratio))
     want = -(-want // multiple) * multiple
-    return min(num_classes, max(want, batch_size))
+    return min(num_classes, want)
 
 
 def sample_classes(rng, labels: jnp.ndarray, num_classes: int,

@@ -56,7 +56,9 @@ def test_sample_classes_different_keys_differ():
 def test_num_sampled_classes():
     assert num_sampled_classes(1_048_576, 0.1, 512) == 104960  # 256-aligned
     assert num_sampled_classes(1000, 0.9, 512) == 1000  # capped at C
-    assert num_sampled_classes(10575, 0.0, 512) == 512  # floor at batch
+    # floor at 2*batch: >= batch negative slots (near-zero negatives stall
+    # margin training)
+    assert num_sampled_classes(10575, 0.0, 512) == 1024
 
 
 def _make(head_name, C, batch, partial, image_size=24, seed=0, lr=0.1,
@@ -163,12 +165,18 @@ def test_fit_with_partial_fc():
 
     images, labels = synthetic_identities(24, 8, image_size=24, seed=0)
     loader = ArrayLoader(images, labels, batch_size=16, seed=0)
+    # num_classes larger than the identities present so the sample is a
+    # real subset (fit falls back to dense when C_s would cover C)
     cfg = cfg_lib.TrainConfig(
-        backbone="resnet18", head="arcface", num_classes=24,
-        batch_size=16, epochs=2, partial_fc=0.99, use_pallas_head=False,
+        backbone="resnet18", head="arcface", num_classes=2048,
+        batch_size=16, epochs=2, partial_fc=0.05, use_pallas_head=False,
         data=cfg_lib.DataConfig(image_size=24))
     result = fit(cfg, loader, use_mesh=False)
     assert np.isfinite(result.min_train_loss)
+    # C_s = 256 of 2048: well under the dense width
+    from face_recognition_models_tpu.train.partial_fc import (
+        num_sampled_classes)
+    assert num_sampled_classes(2048, 0.05, 16) == 256
 
 
 def test_partial_fc_on_8_device_dp_mesh():
