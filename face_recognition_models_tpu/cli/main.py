@@ -146,6 +146,14 @@ def cmd_train(args) -> int:
                 print(f"error: pack has {packed.num_identities} identities "
                       f"> --num-classes {args.num_classes}", file=sys.stderr)
                 return 2
+            if packed.image_size != cfg.data.image_size:
+                print(f"[pack] image size {packed.image_size} overrides "
+                      f"--image-size {cfg.data.image_size}")
+                cfg = cfg_lib.TrainConfig(**{
+                    **cfg.__dict__,
+                    "data": cfg_lib.DataConfig(**{
+                        **cfg.data.__dict__,
+                        "image_size": packed.image_size})})
             loader = PackedLoader(packed,
                                   batch_size=cfg.batch_size // n_proc,
                                   seed=cfg.seed, shard=shard)

@@ -120,8 +120,15 @@ class PackedDataset:
                 f"packed format v{meta.get('format_version')} "
                 f"!= reader v{_FORMAT_VERSION}")
         n, s = meta["num_samples"], meta["image_size"]
-        images = np.memmap(os.path.join(root, _IMAGES), dtype=np.uint8,
-                           mode="r", shape=(n, s, s, 3))
+        img_path = os.path.join(root, _IMAGES)
+        expect = n * s * s * 3
+        actual = os.path.getsize(img_path)
+        if actual != expect:
+            raise ValueError(
+                f"{img_path}: {actual} bytes, expected {expect} "
+                f"({n} x {s}x{s}x3) — truncated or corrupt pack")
+        images = np.memmap(img_path, dtype=np.uint8, mode="r",
+                           shape=(n, s, s, 3))
         labels = np.load(os.path.join(root, _LABELS))
         if len(labels) != n:
             raise ValueError("labels/meta length mismatch")

@@ -34,7 +34,7 @@ sense over a per-step subsample, so they keep the dense path.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional, Union
+from typing import Callable, Union
 
 import jax
 import jax.numpy as jnp

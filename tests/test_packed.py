@@ -110,3 +110,14 @@ def test_cli_pack_then_train(tmp_path):
                "--num-classes", "4", "--image-size", "16",
                "--wandb-project", "", "--print_freq", "1"])
     assert rc == 0
+
+
+def test_truncated_pack_rejected(packed_pair, tmp_path):
+    import shutil
+    _, out = packed_pair
+    bad = tmp_path / "trunc_pack"
+    shutil.copytree(out, bad)
+    with open(bad / "images.u8", "r+b") as f:
+        f.truncate(100)
+    with pytest.raises(ValueError, match="truncated or corrupt"):
+        PackedDataset.open(str(bad))
