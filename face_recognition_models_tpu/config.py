@@ -327,6 +327,9 @@ class TrainConfig:
     # 0.0 = dense (off). Not supported for the memory-blended heads
     # (vpl_arcface, qaface).
     partial_fc: float = 0.0
+    # Sampled-softmax logQ bias correction (see partial_fc.py); only
+    # meaningful when partial_fc > 0.
+    partial_fc_logq: bool = True
     optimizer: OptimizerConfig = OptimizerConfig()
     schedule: ScheduleConfig = ScheduleConfig()
     mesh: MeshConfig = MeshConfig()

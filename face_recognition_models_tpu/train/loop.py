@@ -133,7 +133,8 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             nesterov=cfg.optimizer.nesterov,
             lambda_g=cfg.lambda_g, has_dropout=has_dropout,
             mean=cfg.data.mean, std=cfg.data.std,
-            horizontal_flip=cfg.data.horizontal_flip)
+            horizontal_flip=cfg.data.horizontal_flip,
+            logq_correction=getattr(cfg, "partial_fc_logq", True))
     else:
         step_fn = make_train_step(
             backbone, head, head_cfg, tx, lambda_g=cfg.lambda_g,

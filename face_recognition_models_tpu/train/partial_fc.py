@@ -108,7 +108,8 @@ def make_partial_fc_train_step(
         lambda_g: float = 0.0,
         has_dropout: bool = False,
         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
-        horizontal_flip: bool = False) -> Callable:
+        horizontal_flip: bool = False,
+        logq_correction: bool = True) -> Callable:
     """Sampled-classifier train step.
 
     `tx` optimizes the BACKBONE subtree only; the classifier kernel and
@@ -116,6 +117,15 @@ def make_partial_fc_train_step(
     ordering: wd into grad, then momentum — optim.py). `opt_state` is
     `{"backbone": <tx state>, "kernel_mom": [D, C]}` (see
     init_partial_fc_opt_state).
+
+    logq_correction: add ln((C - u)/(C_s - N)) (the log inverse inclusion
+    probability of a negative; u = unique positives) to the sampled
+    negative logits, the standard sampled-softmax bias correction
+    (Bengio & Senecal 2008). The sampled CE then estimates the DENSE CE
+    instead of a softmax over a C_s-class problem — measured to matter
+    for convergence when C_s << C. Zero when the sample covers every
+    class, so dense equivalence is unchanged. insightface's Partial FC
+    omits this (their ratios keep C_s large); on by default here.
     """
     if head.name in UNSUPPORTED_HEADS:
         raise ValueError(
@@ -143,6 +153,19 @@ def make_partial_fc_train_step(
             sample_rng, labels, num_classes, num_sampled)
         w_s = jnp.take(jax.lax.stop_gradient(kernel), classes, axis=1)
 
+        n = labels.shape[0]
+        if logq_correction:
+            # negatives' inclusion prob q = (C_s - N)/(C - u); -ln q added
+            # to their logits de-biases the sampled softmax denominator
+            u = jnp.sum(col_valid[:n].astype(jnp.float32))
+            log_inv_q = jnp.log((num_classes - u)
+                                / jnp.float32(num_sampled - n))
+            is_neg = jnp.concatenate(
+                [jnp.zeros((n,), bool), jnp.ones((num_sampled - n,), bool)])
+            logit_shift = jnp.where(is_neg, jnp.maximum(log_inv_q, 0.0), 0.0)
+        else:
+            logit_shift = jnp.zeros((num_sampled,), jnp.float32)
+
         def loss_fn(bb_params, w_sampled):
             model_vars = {"params": bb_params,
                           "batch_stats": state.batch_stats}
@@ -153,8 +176,10 @@ def make_partial_fc_train_step(
             feats = feats.astype(jnp.float32)
             out = head.apply(cfg_s, w_sampled, feats, target,
                              state.head_state, rng=head_rng)
-            # padded-positive columns drop out of both softmaxes
-            logits = jnp.where(col_valid[None, :], out.logits, _NEG_INF)
+            # padded-positive columns drop out of both softmaxes; the logQ
+            # shift only affects the CE (not accuracy's pre-margin logits)
+            logits = jnp.where(col_valid[None, :],
+                               out.logits + logit_shift[None, :], _NEG_INF)
             pre = jnp.where(col_valid[None, :], out.pre_logits, _NEG_INF)
             loss_id = mean_cross_entropy(logits, target)
             loss = loss_id + lambda_g * out.loss_g

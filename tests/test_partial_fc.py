@@ -222,3 +222,30 @@ def test_partial_fc_on_8_device_dp_mesh():
     np.testing.assert_allclose(np.asarray(m_state.params["kernel_w"]),
                                np.asarray(s_state.params["kernel_w"]),
                                rtol=1e-3, atol=1e-5)
+
+
+def test_logq_correction_debiases_sampled_ce():
+    """Monte-Carlo over sample draws: the logQ-corrected sampled
+    logsumexp estimates the DENSE logsumexp; the uncorrected one is
+    biased low. (Pure math check on fixed logits, no model.)"""
+    rs = np.random.RandomState(0)
+    C, n, C_s = 2048, 16, 256
+    logits = rs.randn(C).astype(np.float64) * 2.0
+    labels = jnp.asarray(rs.choice(C, n, replace=False), jnp.int32)
+    dense_lse = np.logaddexp.reduce(logits)
+
+    corr_est, raw_est = [], []
+    for k in range(200):
+        classes, col_valid, _ = sample_classes(
+            jax.random.PRNGKey(k), labels, C, C_s)
+        classes, col_valid = np.asarray(classes), np.asarray(col_valid)
+        sampled = logits[classes]
+        u = col_valid[:n].sum()
+        shift = np.log((C - u) / (C_s - n))
+        corrected = sampled + np.where(np.arange(C_s) >= n, shift, 0.0)
+        raw_est.append(np.logaddexp.reduce(sampled[col_valid]))
+        corr_est.append(np.logaddexp.reduce(corrected[col_valid]))
+
+    # corrected estimator lands on the dense value; raw is clearly low
+    assert abs(np.mean(corr_est) - dense_lse) < 0.1
+    assert dense_lse - np.mean(raw_est) > 0.5
