@@ -40,8 +40,10 @@ def _spec_for(path: str, leaf: Any, num_classes: int) -> P:
     shape = getattr(leaf, "shape", ())
     if not shape:
         return P()
-    # Classifier kernel [D, C] and its optimizer momenta.
-    if "kernel_w" in path and len(shape) == 2 and shape[1] == num_classes:
+    # Classifier kernel [D, C] and its optimizer momenta — including the
+    # sharded Partial-FC's manually-managed momentum buffer.
+    if ("kernel_w" in path or "kernel_mom" in path) \
+            and len(shape) == 2 and shape[1] == num_classes:
         return P(None, "model")
     # Head class-memories [C, D] and lifetimes [C].
     if ("head_state" in path or "kernel_w" in path) and shape[0] == num_classes:

@@ -119,14 +119,9 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
                   "the dense path")
             partial_fc = 0.0
     if partial_fc > 0.0:
-        if use_mesh and mesh.shape.get("model", 1) > 1:
-            raise ValueError(
-                "partial_fc keeps the kernel replicated; use a data-only "
-                "mesh (model=1)")
         state = state.replace(
             opt_state=init_partial_fc_opt_state(tx, state.params))
-        step_fn = make_partial_fc_train_step(
-            backbone, head, head_cfg, tx, n_sampled,
+        common = dict(
             learning_rate=lr_for_tx,
             momentum=cfg.optimizer.momentum,
             weight_decay=cfg.optimizer.weight_decay,
@@ -135,6 +130,19 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             mean=cfg.data.mean, std=cfg.data.std,
             horizontal_flip=cfg.data.horizontal_flip,
             logq_correction=getattr(cfg, "partial_fc_logq", True))
+        if use_mesh and mesh.shape.get("model", 1) > 1:
+            # kernel + momentum shard over 'model'; each shard samples its
+            # local class range (the original Partial FC architecture)
+            from face_recognition_models_tpu.train.partial_fc_sharded \
+                import make_sharded_partial_fc_train_step
+            mp = mesh.shape["model"]
+            n_local = num_sampled_classes(
+                head_cfg.num_classes // mp, partial_fc, cfg.batch_size)
+            step_fn = make_sharded_partial_fc_train_step(
+                backbone, head, head_cfg, tx, n_local, mesh=mesh, **common)
+        else:
+            step_fn = make_partial_fc_train_step(
+                backbone, head, head_cfg, tx, n_sampled, **common)
     else:
         step_fn = make_train_step(
             backbone, head, head_cfg, tx, lambda_g=cfg.lambda_g,

@@ -201,12 +201,10 @@ def test_partial_fc_on_8_device_dp_mesh():
                         compute_dtype="float32")
     mesh = make_mesh(cfg_lib.MeshConfig(data=8, model=1))
     shardings = train_state_shardings(mesh, state, num_classes=C)
-    # partial-fc runs on data-only meshes: the kernel's 'model' spec is a
-    # no-op at model=1 (loop.py rejects model>1) and the momentum buffer
-    # replicates
+    # replicated-kernel partial-fc runs on data-only meshes: the kernel
+    # and momentum 'model' specs are no-ops at model=1 (loop.py routes
+    # model>1 meshes to the sharded variant)
     assert mesh.shape["model"] == 1
-    assert (shardings.opt_state["kernel_mom"].spec
-            == jax.sharding.PartitionSpec())
     data_s = batch_sharding(mesh)
     st_mesh = jax.device_put(state, shardings)
     step_mesh = jax.jit(step.__wrapped__ if hasattr(step, "__wrapped__")
