@@ -81,9 +81,11 @@ def _local_sample(rng, labels_full, c_local: int, n_slots: int,
     pos = jnp.unique(masked, size=n_slots, fill_value=c_local)
     pos_valid = pos < c_local
 
+    from face_recognition_models_tpu.train.partial_fc import (
+        sample_negatives)
     scores = jax.random.uniform(shard_rng, (c_local + 1,))
     scores = scores.at[pos].set(-1.0)  # sentinel writes land in slot C
-    _, neg = jax.lax.top_k(scores[:c_local], c_s_local - n_slots)
+    neg = sample_negatives(scores[:c_local], c_s_local - n_slots, n_slots)
 
     classes = jnp.concatenate([jnp.where(pos_valid, pos, 0), neg])
     col_valid = jnp.concatenate(

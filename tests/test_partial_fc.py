@@ -247,3 +247,33 @@ def test_logq_correction_debiases_sampled_ce():
     # corrected estimator lands on the dense value; raw is clearly low
     assert abs(np.mean(corr_est) - dense_lse) < 0.1
     assert dense_lse - np.mean(raw_est) > 0.5
+
+
+def test_bucketed_negative_sampler_large_c():
+    """At large C sample_negatives takes the bucketed top_k path; the
+    sample must stay distinct, positive-free, and cover buckets evenly."""
+    from face_recognition_models_tpu.train.partial_fc import (
+        sample_negatives)
+    C, n, k = 131072, 512, 12288       # k % 64 == 0, C/B=2048 >= 1024
+    rs = np.random.RandomState(0)
+    pos = rs.choice(C, n, replace=False)
+    scores = jax.random.uniform(jax.random.PRNGKey(0), (C,))
+    scores = scores.at[jnp.asarray(pos)].set(-1.0)
+    neg = np.asarray(sample_negatives(scores, k, n))
+    assert len(neg) == k
+    assert len(set(neg.tolist())) == k                  # distinct
+    assert not set(neg.tolist()) & set(pos.tolist())    # excludes positives
+    # bucketed: exactly k/64 selections per 2048-wide bucket
+    counts = np.bincount(neg // (C // 64), minlength=64)
+    assert (counts == k // 64).all()
+
+
+def test_negative_sampler_small_c_exact():
+    """Small C falls back to the exact global top_k."""
+    from face_recognition_models_tpu.train.partial_fc import (
+        sample_negatives)
+    scores = jax.random.uniform(jax.random.PRNGKey(1), (512,))
+    scores = scores.at[jnp.arange(16)].set(-1.0)
+    neg = np.asarray(sample_negatives(scores, 100, 16))
+    assert len(set(neg.tolist())) == 100
+    assert (neg >= 16).all()
