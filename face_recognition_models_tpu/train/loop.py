@@ -75,9 +75,18 @@ def degrade_images(images: jnp.ndarray) -> jnp.ndarray:
 def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
         mesh=None, use_mesh: Optional[bool] = None,
         checkpoint_manager: Optional[CheckpointManager] = None,
-        head_cfg=None, hooks: Optional[Callable] = None) -> FitResult:
+        head_cfg=None, hooks: Optional[Callable] = None,
+        warm_start=None) -> FitResult:
     """Train for cfg.epochs over `loader` (any object with
-    steps_per_epoch() and epoch(i) -> iterator of (uint8 images, labels))."""
+    steps_per_epoch() and epoch(i) -> iterator of (uint8 images, labels)).
+
+    warm_start: optional (backbone_params, batch_stats) pytrees to
+    initialize the backbone from — the in-memory fine-tune path (e.g. a
+    previous FitResult's state), complementing cfg.pretrained_path which
+    loads a torch state_dict from disk. The head kernel and optimizer
+    state start fresh, exactly like the reference's ImageNet fine-tuning
+    (backbones.py:12-26 swaps the final layer and trains everything).
+    """
     if head_cfg is None:
         head_cfg = cfg_lib.make_head_config(cfg.head,
                                             num_classes=cfg.num_classes)
@@ -93,6 +102,11 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
                        weight_decay=cfg.optimizer.weight_decay,
                        nesterov=cfg.optimizer.nesterov)
     backbone, head, state = create_train_state(cfg, head_cfg, tx)
+    if warm_start is not None:
+        wp, ws = warm_start
+        state = state.replace(
+            params={**state.params, "backbone": jax.tree.map(jnp.asarray, wp)},
+            batch_stats=jax.tree.map(jnp.asarray, ws))
 
     # --- mesh / sharding ---------------------------------------------------
     if use_mesh is None:
@@ -108,15 +122,31 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             make_partial_fc_train_step,
             num_sampled_classes,
         )
+        if cfg.optimizer.name != "sgd":
+            # the manual sampled-column update implements torch-SGD
+            # momentum/wd semantics only; any other optimizer would
+            # silently train the head with SGD while the backbone uses
+            # the configured rule
+            raise ValueError(
+                f"partial_fc requires optimizer 'sgd' (got "
+                f"'{cfg.optimizer.name}'): the sampled classifier columns "
+                "are updated by a manual torch-SGD rule (train/partial_fc"
+                ".py); use --partial-fc 0 or --optimizer sgd")
         n_sampled = num_sampled_classes(head_cfg.num_classes, partial_fc,
                                         cfg.batch_size)
-        if cfg.batch_size >= head_cfg.num_classes \
-                or n_sampled >= head_cfg.num_classes:
+        # on the class-sharded path each shard samples within its LOCAL
+        # class range, so the dense-fallback check must also hold per shard
+        mp = mesh.shape.get("model", 1) if (use_mesh and mesh is not None) \
+            else 1
+        c_min = head_cfg.num_classes // max(mp, 1)
+        n_sampled_min = num_sampled_classes(c_min, partial_fc,
+                                            cfg.batch_size)
+        if cfg.batch_size >= c_min or n_sampled_min >= c_min:
             # sampling can't beat dense when the sample must cover (almost)
             # every class; fall back rather than erroring on small C
-            print(f"[partial_fc] C={head_cfg.num_classes} too small for "
-                  f"batch {cfg.batch_size} / ratio {partial_fc} — using "
-                  "the dense path")
+            print(f"[partial_fc] C={head_cfg.num_classes} (per-shard "
+                  f"{c_min}) too small for batch {cfg.batch_size} / ratio "
+                  f"{partial_fc} — using the dense path")
             partial_fc = 0.0
     if partial_fc > 0.0:
         state = state.replace(

@@ -152,6 +152,13 @@ def make_partial_fc_train_step(
     for convergence when C_s << C. Zero when the sample covers every
     class, so dense equivalence is unchanged. insightface's Partial FC
     omits this (their ratios keep C_s large); on by default here.
+
+    Caveat: the correction assumes exact-uniform inclusion q = (C_s - N) /
+    (C - u). The bucketed sampler (sample_negatives) only approximates
+    that — when a batch's positives cluster into one bucket, that bucket's
+    non-positives see up to (k/B)/((C/B) - n) inclusion instead of k/(C-u),
+    a ≤N/(C/B) relative skew (≤3% at C=1M, B=64, N=512). Accepted as
+    documented; the global top_k path below C~64k is exact.
     """
     if head.name in UNSUPPORTED_HEADS:
         raise ValueError(
