@@ -1,0 +1,251 @@
+"""End-to-end training-trajectory parity vs the reference pipeline.
+
+The forward-parity harness (test_reference_parity.py) checks each head under
+torch.no_grad(); heads, SGD semantics, and schedules are each tested in
+isolation elsewhere. This test runs the COMPOSITION the reference actually
+trains (model_utils.py:147-216, 556-559): backbone -> margin head -> CE +
+SGD(momentum 0.9, weight decay 5e-4 on ALL params) + CustomStepLR stepped
+per epoch — in BOTH stacks, from identical initial weights (ported via
+utils/torch_port.py) on identical batches, and asserts the loss / acc1 /
+feature-norm trajectories and the final weight drift track within a stated
+tolerance. This catches the class of bug forward parity cannot: backward
+formulas through the margin, BN train-mode statistics, wd-on-BN-params,
+momentum ordering, and LR-change timing.
+
+Torch side: the reference's own heads (/root/reference criterion.py) and
+CustomStepLR (schedulers.py:3-14), with the torchvision-v1.5-compatible
+ResNet replica from test_pretrained_port (torchvision itself is not
+installed here). JAX side: the real production path — create_train_state +
+make_train_step + get_optimizer + get_schedule, fp32 compute with
+HIGHEST-precision matmuls (bf16-default matmuls would drown the comparison).
+
+Tolerances (documented in README "Testing"), set at ~4x the measured
+divergence over 12 steps (max loss rel err 4.3e-4, max feat-norm rel err
+4.7e-3 — fp reassociation differences compound through the recipe's own
+chaotic dynamics, feature norms explode 5 -> ~600 under lr=0.1):
+per-step relative loss <= 2e-3, feat-norm <= 1.5e-2, LR exact, acc1 within
+one sample, final backbone/kernel drift cosine > 0.999.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_pretrained_port import _BasicBlock, _TorchResNet  # noqa: E402
+
+REF_PATH = "/root/reference/main_code"
+
+# tiny-but-real config: full ResNet-18 graph at 32px
+N, D, C = 16, 64, 12
+IMAGE = 32
+EPOCHS, STEPS_PER_EPOCH = 3, 4       # 12 steps; LR drops after epochs 1, 2
+LR, MOMENTUM, WD = 0.1, 0.9, 5e-4    # the reference's exact hardcoded recipe
+LR_STEPS, LR_RATIO = (1, 2), 0.1     # CustomStepLR boundaries inside the run
+
+
+@pytest.fixture(scope="module")
+def ref():
+    """Reference criterion + schedulers with torchvision stubbed (only the
+    *Net wrappers use torchvision; the heads and CustomStepLR do not)."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        for name in ("resnet50", "resnet18", "ResNet18_Weights",
+                     "ResNet50_Weights", "efficientnet_b0",
+                     "EfficientNet_B0_Weights", "mobilenet_v2",
+                     "MobileNet_V2_Weights"):
+            setattr(tvm, name, None)
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    import utils.criterion as crit
+    import utils.schedulers as sched
+    return types.SimpleNamespace(crit=crit, sched=sched)
+
+
+def make_batches(seed, steps):
+    rs = np.random.RandomState(seed)
+    out = []
+    for _ in range(steps):
+        images = rs.uniform(-1.0, 1.0, (N, IMAGE, IMAGE, 3)).astype(np.float32)
+        labels = rs.randint(0, C, N).astype(np.int32)
+        out.append((images, labels))
+    return out
+
+
+def run_torch_reference(ref, head, tmodel, batches):
+    """The reference recipe verbatim (model_utils.py:556-559, 569-578):
+    CE + SGD(momentum .9, wd 5e-4 over ALL params) + CustomStepLR stepped
+    once per epoch; per-step loss/acc from the head's (pre, post) tuple."""
+
+    class _Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = tmodel
+            self.head = head
+
+        def forward(self, x, labels):
+            return self.head(self.backbone(x), labels)
+
+    net = _Net().train()
+    criterion = torch.nn.CrossEntropyLoss()
+    opt = torch.optim.SGD(net.parameters(), lr=LR, momentum=MOMENTUM,
+                          weight_decay=WD)
+    scheduler = ref.sched.CustomStepLR(opt, steps=LR_STEPS, ratio=LR_RATIO)
+    traj = []
+    it = iter(batches)
+    for _ in range(EPOCHS):
+        for _ in range(STEPS_PER_EPOCH):
+            images, labels = next(it)
+            x = torch.from_numpy(images.transpose(0, 3, 1, 2))
+            t = torch.from_numpy(labels.astype(np.int64))
+            (pre, post), norms, loss_g, _ = net(x, t)
+            loss = criterion(post, t)
+            acc1 = (pre.argmax(1) == t).float().mean().item() * 100.0
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            traj.append(dict(loss=loss.item(), acc1=acc1,
+                             lr=opt.param_groups[0]["lr"],
+                             feat_norm=float(norms.float().mean())))
+        scheduler.step()
+    return net, traj
+
+
+def run_jax_pipeline(head_name, tmodel, kernel_dc, batches, **head_overrides):
+    """The production path: create_train_state (+ ported torch weights) ->
+    make_train_step with get_optimizer('sgd') and the customstep schedule."""
+    from face_recognition_models_tpu import config as cfg_lib
+    from face_recognition_models_tpu.train.optim import get_optimizer
+    from face_recognition_models_tpu.train.schedules import get_schedule
+    from face_recognition_models_tpu.train.state import create_train_state
+    from face_recognition_models_tpu.train.step import make_train_step
+    from face_recognition_models_tpu.utils.torch_port import (
+        port_torchvision_resnet)
+
+    cfg = cfg_lib.TrainConfig(
+        backbone="resnet18", head=head_name, num_classes=C,
+        batch_size=N, epochs=EPOCHS, compute_dtype="float32",
+        optimizer=cfg_lib.OptimizerConfig(
+            name="sgd", learning_rate=LR, momentum=MOMENTUM,
+            weight_decay=WD),
+        schedule=cfg_lib.ScheduleConfig(name="customstep", steps=LR_STEPS,
+                                        ratio=LR_RATIO),
+        data=cfg_lib.DataConfig(image_size=IMAGE))
+    head_cfg = cfg_lib.make_head_config(head_name, feature_dim=D,
+                                        num_classes=C, **head_overrides)
+    schedule = get_schedule(cfg.schedule, LR, STEPS_PER_EPOCH, EPOCHS)
+    tx = get_optimizer("sgd", schedule, momentum=MOMENTUM, weight_decay=WD,
+                       nesterov=False)
+    backbone, head, state = create_train_state(cfg, head_cfg, tx)
+
+    ported, stats = port_torchvision_resnet(
+        tmodel.state_dict(),
+        {"params": state.params["backbone"], "batch_stats": state.batch_stats},
+        (2, 2, 2, 2), port_fc=True)
+    params = {"backbone": jax.tree.map(jnp.asarray, ported),
+              "kernel_w": jnp.asarray(kernel_dc)}
+    state = state.replace(params=params,
+                          batch_stats=jax.tree.map(jnp.asarray, stats),
+                          opt_state=tx.init(params))
+
+    step_fn = make_train_step(backbone, head, head_cfg, tx,
+                              lr_schedule=schedule, use_fused_head=False)
+    with jax.default_matmul_precision("float32"):
+        jit_step = jax.jit(step_fn)
+        traj = []
+        for images, labels in batches:
+            state, metrics = jit_step(state, jnp.asarray(images),
+                                      jnp.asarray(labels))
+            traj.append({k: float(v) for k, v in metrics.items()})
+    return state, traj
+
+
+def assert_trajectories_match(jax_traj, torch_traj):
+    assert len(jax_traj) == len(torch_traj)
+    for step, (j, t) in enumerate(zip(jax_traj, torch_traj)):
+        assert abs(j["loss"] - t["loss"]) <= 2e-3 * max(1.0, abs(t["loss"])), \
+            f"loss diverged at step {step}: jax {j['loss']:.6f} vs torch " \
+            f"{t['loss']:.6f}"
+        assert j["lr"] == pytest.approx(t["lr"], rel=1e-6), \
+            f"LR schedule timing mismatch at step {step}"
+        assert abs(j["acc1"] - t["acc1"]) <= 100.0 / N + 1e-6, \
+            f"acc1 off by more than one sample at step {step}"
+        assert abs(j["feat_norm"] - t["feat_norm"]) <= \
+            1.5e-2 * max(1.0, t["feat_norm"]), f"feat_norm step {step}"
+
+
+def _cos(a, b):
+    a, b = np.asarray(a, np.float64).ravel(), np.asarray(b, np.float64).ravel()
+    return float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def make_kernel(seed):
+    rs = np.random.RandomState(seed + 500)
+    return (0.1 * rs.randn(D, C)).astype(np.float32)
+
+
+def test_arcface_training_trajectory_matches_reference(ref):
+    """ArcFace + ResNet-18 through the exact reference recipe: 12 steps,
+    two CustomStepLR drops, loss/acc/lr/drift all tracked."""
+    torch.manual_seed(0)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(0)
+    head = ref.crit.ArcFace(D, C, device_id=None, s=64.0, m=0.5,
+                            easy_margin=False)
+    head.weight.data = torch.from_numpy(kernel.T.copy())
+    batches = make_batches(0, EPOCHS * STEPS_PER_EPOCH)
+
+    jstate, jtraj = run_jax_pipeline("arcface", tmodel, kernel, batches)
+    tnet, ttraj = run_torch_reference(ref, head, tmodel, batches)
+
+    assert_trajectories_match(jtraj, ttraj)
+    # final-weight drift: the trained tensors must still be the same weights
+    assert _cos(np.asarray(jstate.params["kernel_w"]),
+                tnet.head.weight.detach().numpy().T) > 0.999
+    assert _cos(np.asarray(jstate.params["backbone"]["conv1"]["kernel"]),
+                tnet.backbone.conv1.weight.detach().numpy()
+                .transpose(2, 3, 1, 0)) > 0.999
+    # BN running stats follow torch's train-mode update rule (momentum 0.1,
+    # unbiased var for the running update) closely enough to track
+    bn = jstate.batch_stats["bn1"]
+    t_bn_mean = tnet.backbone.bn1.running_mean.detach().numpy()
+    np.testing.assert_allclose(np.asarray(bn["mean"]), t_bn_mean,
+                               rtol=5e-2, atol=5e-3)
+
+
+def test_adaface_training_trajectory_matches_reference(ref):
+    """AdaFace (stateful EMA head): the norm-EMA state evolves from live
+    backbone features, so trajectory parity also checks the state feedback
+    loop under training drift."""
+    torch.manual_seed(1)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(1)
+    head = ref.crit.AdaFace(D, C, m=0.4, h=0.333, s=64.0, t_alpha=0.99)
+    head.kernel.data = torch.from_numpy(kernel.copy())
+    batches = make_batches(1, EPOCHS * STEPS_PER_EPOCH)
+
+    jstate, jtraj = run_jax_pipeline("adaface", tmodel, kernel, batches)
+    tnet, ttraj = run_torch_reference(ref, head, tmodel, batches)
+
+    assert_trajectories_match(jtraj, ttraj)
+    assert _cos(np.asarray(jstate.params["kernel_w"]),
+                tnet.head.kernel.detach().numpy()) > 0.999
+    # the EMA buffers fed back into the margins must have tracked too
+    np.testing.assert_allclose(
+        float(np.asarray(jstate.head_state.batch_mean)),
+        float(tnet.head.batch_mean), rtol=2e-2)
+    np.testing.assert_allclose(
+        float(np.asarray(jstate.head_state.batch_std)),
+        float(tnet.head.batch_std), rtol=5e-2)
