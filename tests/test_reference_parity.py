@@ -231,6 +231,110 @@ def test_elastic_cosface_matches_reference(ref, plus):
 
 
 # ---------------------------------------------------------------------------
+# Elastic heads under REAL randomness: torch RNG cannot be replayed in JAX,
+# but (a) the sampled-margin DISTRIBUTION must match (two-sample KS vs the
+# reference's clipped-normal sampler, criterion.py:1003-1005) and (b) the
+# plus-mode rank composition must be the reference's exact GATHER
+# `sort(margin)[argsort(-target_cos)]` (criterion.py:1007-1012) — a
+# self-consistency identity checkable per side without shared RNG.
+# ---------------------------------------------------------------------------
+
+
+def _extract_margins(head_name, pre, post, labels, s):
+    """Recover the per-sample margin a head applied from its (pre, post)
+    logits. cos-mode: m = (pre - post)[target] / s; arc-mode:
+    m = acos(post_t/s) - acos(pre_t/s) (valid while acos(t)+m < pi)."""
+    idx = np.arange(len(labels))
+    pre_t = pre[idx, labels] / s
+    post_t = post[idx, labels] / s
+    if "cos" in head_name:
+        return pre_t - post_t
+    return np.arccos(np.clip(post_t, -1, 1)) - np.arccos(np.clip(pre_t, -1, 1))
+
+
+def _jax_sampled_margins(name, kernel, batches, plus):
+    outs = run_jax(name, kernel, batches, std=0.05, plus=plus)
+    res = []
+    for (feats, labels), out in zip(batches, outs):
+        res.append((_extract_margins(name, np.asarray(out.pre_logits),
+                                     np.asarray(out.logits), labels, 64.0),
+                    labels, feats))
+    return res
+
+
+def _torch_sampled_margins(ref, name, kernel, batches, plus):
+    cls = ref.ElasticCosFace if "cos" in name else ref.ElasticArcFace
+    m = 0.35 if "cos" in name else 0.5
+    head = cls(D, C, s=64.0, m=m, std=0.05, plus=plus)
+    head.kernel.data = torch.from_numpy(kernel.copy())
+    outs = run_torch(head, batches)
+    res = []
+    for (feats, labels), out in zip(batches, outs):
+        res.append((_extract_margins(name, out["pre"], out["post"], labels,
+                                     64.0), labels, feats))
+    return res
+
+
+@pytest.mark.parametrize("name", ["elastic_cosface", "elastic_arcface"])
+def test_elastic_margin_distribution_matches_reference(ref, name):
+    """KS two-sample test: margins extracted from the JAX head across many
+    batches vs the torch head's. std=0.05 > the default so the clip
+    boundaries at m +/- std carry real mass (P(|z|>1) ~ 32%) and the
+    interior shape is resolvable. Deterministic: fixed seeds both sides."""
+    scipy_stats = pytest.importorskip("scipy.stats")
+    torch.manual_seed(123)
+    kernel = make_kernel(20)
+    batches = make_batches(20, 64)  # 512 margins per side
+    m0 = 0.35 if "cos" in name else 0.5
+
+    jm = np.concatenate([m for m, _, _ in
+                         _jax_sampled_margins(name, kernel, batches, False)])
+    tm = np.concatenate([m for m, _, _ in
+                         _torch_sampled_margins(ref, name, kernel, batches,
+                                                False)])
+    # both respect the clamp to [m - std, m + std] ...
+    for arr in (jm, tm):
+        assert arr.min() >= m0 - 0.05 - 5e-4
+        assert arr.max() <= m0 + 0.05 + 5e-4
+        # ... with real probability mass AT the boundaries (clipped normal,
+        # not truncated-resampled): ~16% in each tail
+        assert np.mean(arr > m0 + 0.05 - 1e-4) > 0.08
+        assert np.mean(arr < m0 - 0.05 + 1e-4) > 0.08
+    stat, pvalue = scipy_stats.ks_2samp(jm, tm)
+    assert pvalue > 0.01, \
+        f"margin distributions differ: KS D={stat:.4f} p={pvalue:.2e}"
+
+
+@pytest.mark.parametrize("name", ["elastic_cosface", "elastic_arcface"])
+def test_elastic_plus_rank_composition(ref, name):
+    """Plus mode under randomness: BOTH sides must realize the reference's
+    gather composition margin_i = sort(margin)[argsort(-target_cos)][i].
+    Since the applied margins are a permutation of the sampled ones, each
+    side must satisfy `applied == sort(applied)[argsort(-t_cos)]` — this
+    pins the gather-vs-scatter choice that std=0 parity cannot see."""
+    torch.manual_seed(7)
+    kernel = make_kernel(21)
+    batches = make_batches(21, 8)
+
+    wn = kernel / np.linalg.norm(kernel, axis=0, keepdims=True)
+
+    def check(side):
+        for margins, labels, feats in side:
+            xn = feats / np.linalg.norm(feats, axis=1, keepdims=True)
+            t_cos = np.clip(np.sum(xn * wn[:, labels].T, axis=1),
+                            -1 + 1e-7, 1 - 1e-7)
+            expect = np.sort(margins)[np.argsort(-t_cos)]
+            np.testing.assert_allclose(margins, expect, rtol=1e-4,
+                                       atol=2e-5)
+            # and the assignment is non-trivial (not already sorted)
+        all_m = np.concatenate([m for m, _, _ in side])
+        assert np.std(all_m) > 1e-3  # randomness actually flowed through
+
+    check(_jax_sampled_margins(name, kernel, batches, True))
+    check(_torch_sampled_margins(ref, name, kernel, batches, True))
+
+
+# ---------------------------------------------------------------------------
 # Stateful heads: EMA / memory sequences over multiple steps
 # ---------------------------------------------------------------------------
 
