@@ -1,7 +1,7 @@
 """Synthetic end-to-end convergence run (the PERF.md protocol).
 
 No CASIA/LFW data exists in this environment, so training quality is
-evidenced on a synthetic identity problem: 500 identities, noisy copies
+evidenced on a synthetic identity problem: N identities, noisy copies
 of per-identity prototypes (noise 35), train on most copies, verify on
 HELD-OUT copies via the reference's exact 10-fold Youden protocol
 (model_utils.py:416-474).
@@ -9,7 +9,16 @@ HELD-OUT copies via the reference's exact 10-fold Youden protocol
     python scripts/convergence_run.py --partial-fc 0.5   # sampled path
     python scripts/convergence_run.py                    # dense path
 
-Prints one JSON line with the verification result.
+Two-stage fine-tune protocol (the reference NEVER trains from scratch —
+backbones.py:12-26 always starts from ImageNet weights; PERF.md shows why:
+from-scratch C=8192/b512 stalls at 58%. This reproduces the practice
+in-framework: pretrain on a small-C problem, then fine-tune the backbone
+at large C with a fresh head):
+
+    python scripts/convergence_run.py --classes 1000 \
+        --finetune-classes 8192 [--finetune-epochs 15] [--finetune-lr 0.02]
+
+Prints one JSON line per stage with the verification result.
 """
 
 from __future__ import annotations
@@ -19,6 +28,92 @@ import json
 import time
 
 import numpy as np
+
+
+def build_split(classes, train_per_class, eval_per_class, image_size, seed,
+                noise):
+    """Class-major identity blocks: first train_per_class copies of each
+    identity train, the rest are held out for verification."""
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities)
+
+    per = train_per_class + eval_per_class
+    images, labels = synthetic_identities(
+        classes, per, image_size=image_size, seed=seed, noise=noise)
+    images = images.reshape(classes, per, *images.shape[1:])
+    train_x = images[:, :train_per_class].reshape(-1, *images.shape[2:])
+    train_y = np.repeat(np.arange(classes, dtype=np.int32), train_per_class)
+    held_x = images[:, train_per_class:].reshape(-1, *images.shape[2:])
+    held_y = np.repeat(np.arange(classes, dtype=np.int32), eval_per_class)
+    return train_x, train_y, held_x, held_y
+
+
+def verify(result, held_x, held_y, classes, eval_per_class, pairs_per_kind,
+           batch, seed):
+    """Held-out 10-fold Youden verification on the trained backbone."""
+    from face_recognition_models_tpu.evaluation.batch_eval import (
+        make_embed_fn)
+    from face_recognition_models_tpu.evaluation.verification import (
+        embed_unique_images,
+        kfold_verification,
+    )
+
+    embed = make_embed_fn(result.backbone,
+                          result.state.params["backbone"],
+                          result.state.batch_stats)
+    emb = embed_unique_images(embed, held_x, batch_size=batch)
+
+    rs = np.random.RandomState(seed + 1)
+    n = len(held_y)
+    pos, neg = [], []
+    while len(pos) < pairs_per_kind:
+        c = rs.randint(classes)
+        i, j = rs.choice(eval_per_class, 2, replace=False)
+        pos.append((c * eval_per_class + i, c * eval_per_class + j, 1))
+    while len(neg) < pairs_per_kind:
+        a, b = rs.randint(n), rs.randint(n)
+        if held_y[a] != held_y[b]:
+            neg.append((a, b, 0))
+    pairs = np.asarray(pos + neg, np.int64)
+    sims = np.sum(emb[pairs[:, 0]] * emb[pairs[:, 1]], axis=1)
+    return kfold_verification(sims, pairs[:, 2])
+
+
+def run_stage(args, classes, epochs, lr, seed, warm_start=None,
+              stage="train"):
+    from face_recognition_models_tpu import config as cfg_lib
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.train.loop import fit
+
+    train_x, train_y, held_x, held_y = build_split(
+        classes, args.train_per_class, args.eval_per_class,
+        args.image_size, seed, args.noise)
+    cfg = cfg_lib.TrainConfig(
+        backbone=args.backbone, head=args.head, num_classes=classes,
+        batch_size=args.batch, epochs=epochs,
+        print_freq=args.print_freq,
+        scan_steps=args.scan_steps, partial_fc=args.partial_fc,
+        optimizer=cfg_lib.OptimizerConfig(learning_rate=lr),
+        data=cfg_lib.DataConfig(image_size=args.image_size))
+    loader = ArrayLoader(train_x, train_y, batch_size=args.batch, seed=seed)
+    t0 = time.time()
+    result = fit(cfg, loader, use_mesh=False, warm_start=warm_start)
+    train_s = time.time() - t0
+
+    res = verify(result, held_x, held_y, classes, args.eval_per_class,
+                 args.pairs_per_kind, args.batch, seed)
+    print(json.dumps({
+        "metric": "synthetic_verification", "stage": stage,
+        "head": args.head, "backbone": args.backbone,
+        "classes": classes, "batch": args.batch, "epochs": epochs,
+        "lr": lr, "partial_fc": args.partial_fc,
+        "warm_started": warm_start is not None,
+        "mean_accuracy": round(res.mean_accuracy, 3),
+        "std_accuracy": round(res.std_accuracy, 3),
+        "mean_auc": round(res.mean_auc, 5),
+        "min_train_loss": round(result.min_train_loss, 4),
+        "train_seconds": round(train_s, 1)}), flush=True)
+    return result
 
 
 def main():
@@ -39,81 +134,29 @@ def main():
     ap.add_argument("--print-freq", type=int, default=100)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--finetune-classes", type=int, default=0,
+                    help="two-stage: fine-tune the stage-1 backbone on a "
+                    "DISJOINT identity set of this size (fresh head)")
+    ap.add_argument("--finetune-epochs", type=int, default=None)
+    ap.add_argument("--finetune-lr", type=float, default=0.02,
+                    help="fine-tune stage LR (reference fine-tunes at "
+                    "lower LR than from-scratch)")
     args = ap.parse_args()
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    from face_recognition_models_tpu import config as cfg_lib
-    from face_recognition_models_tpu.data.pipeline import ArrayLoader
-    from face_recognition_models_tpu.data.synthetic import (
-        synthetic_identities)
-    from face_recognition_models_tpu.evaluation.batch_eval import (
-        make_embed_fn)
-    from face_recognition_models_tpu.evaluation.verification import (
-        embed_unique_images,
-        kfold_verification,
-    )
-    from face_recognition_models_tpu.train.loop import fit
+    result = run_stage(args, args.classes, args.epochs, args.lr, args.seed,
+                       stage="pretrain" if args.finetune_classes else "train")
 
-    per = args.train_per_class + args.eval_per_class
-    images, labels = synthetic_identities(
-        args.classes, per, image_size=args.image_size, seed=args.seed,
-        noise=args.noise)
-    # class-major blocks: first train_per_class of each identity train,
-    # the rest are held out for verification
-    images = images.reshape(args.classes, per, *images.shape[1:])
-    train_x = images[:, :args.train_per_class].reshape(
-        -1, *images.shape[2:])
-    train_y = np.repeat(np.arange(args.classes, dtype=np.int32),
-                        args.train_per_class)
-    held_x = images[:, args.train_per_class:].reshape(-1, *images.shape[2:])
-    held_y = np.repeat(np.arange(args.classes, dtype=np.int32),
-                       args.eval_per_class)
-
-    cfg = cfg_lib.TrainConfig(
-        backbone=args.backbone, head=args.head, num_classes=args.classes,
-        batch_size=args.batch, epochs=args.epochs,
-        print_freq=args.print_freq,
-        scan_steps=args.scan_steps, partial_fc=args.partial_fc,
-        optimizer=cfg_lib.OptimizerConfig(learning_rate=args.lr),
-        data=cfg_lib.DataConfig(image_size=args.image_size))
-    loader = ArrayLoader(train_x, train_y, batch_size=args.batch,
-                         seed=args.seed)
-    t0 = time.time()
-    result = fit(cfg, loader, use_mesh=False)
-    train_s = time.time() - t0
-
-    embed = make_embed_fn(result.backbone,
-                          result.state.params["backbone"],
-                          result.state.batch_stats)
-    emb = embed_unique_images(embed, held_x, batch_size=args.batch)
-
-    rs = np.random.RandomState(args.seed + 1)
-    n = len(held_y)
-    pos, neg = [], []
-    while len(pos) < args.pairs_per_kind:
-        c = rs.randint(args.classes)
-        i, j = rs.choice(args.eval_per_class, 2, replace=False)
-        pos.append((c * args.eval_per_class + i,
-                    c * args.eval_per_class + j, 1))
-    while len(neg) < args.pairs_per_kind:
-        a, b = rs.randint(n), rs.randint(n)
-        if held_y[a] != held_y[b]:
-            neg.append((a, b, 0))
-    pairs = np.asarray(pos + neg, np.int64)
-    sims = np.sum(emb[pairs[:, 0]] * emb[pairs[:, 1]], axis=1)
-    res = kfold_verification(sims, pairs[:, 2])
-    print(json.dumps({
-        "metric": "synthetic_verification",
-        "head": args.head, "backbone": args.backbone,
-        "partial_fc": args.partial_fc,
-        "mean_accuracy": round(res.mean_accuracy, 3),
-        "std_accuracy": round(res.std_accuracy, 3),
-        "mean_auc": round(res.mean_auc, 5),
-        "min_train_loss": round(result.min_train_loss, 4),
-        "train_seconds": round(train_s, 1)}))
+    if args.finetune_classes:
+        warm = (jax.device_get(result.state.params["backbone"]),
+                jax.device_get(result.state.batch_stats))
+        del result
+        run_stage(args, args.finetune_classes,
+                  args.finetune_epochs or args.epochs, args.finetune_lr,
+                  args.seed + 10_000, warm_start=warm, stage="finetune")
 
 
 if __name__ == "__main__":

@@ -209,3 +209,27 @@ def test_scan_steps_driver_e2e():
     # 3 steps/epoch x 2 epochs x batch 8 — leftovers included
     assert result.images_per_sec > 0
     assert result.steps_per_sec > 0
+
+
+def test_fit_warm_start_uses_given_backbone(dataset):
+    """fit(warm_start=(params, stats)) must train FROM the given backbone —
+    the in-memory fine-tune path (scripts/convergence_run.py two-stage
+    protocol, mirroring reference backbones.py:12-26). With lr=0 the
+    params are provably the warm ones; the head kernel starts fresh."""
+    images, labels = dataset
+    loader = ArrayLoader(images, labels, batch_size=BS, seed=0)
+
+    stage1 = fit(_cfg(None, epochs=1), loader, use_mesh=False)
+    warm = (jax.device_get(stage1.state.params["backbone"]),
+            jax.device_get(stage1.state.batch_stats))
+
+    cfg2 = cfg_lib.TrainConfig(
+        backbone="resnet18", head="arcface", num_classes=C, batch_size=BS,
+        epochs=1, seed=7, data=cfg_lib.DataConfig(image_size=IMG),
+        optimizer=cfg_lib.OptimizerConfig(learning_rate=0.0))
+    stage2 = fit(cfg2, loader, use_mesh=False, warm_start=warm)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), rtol=1e-6),
+        stage2.state.params["backbone"], warm[0])
