@@ -149,6 +149,10 @@ class ResNet(nn.Module):
     # BN-folded inference mode: convs carry biases, norms are identity.
     # Params come from models.folding.fold_resnet_bn (serving/export).
     folded: bool = False
+    # BN compute dtype. fp32 is the supported default (CLAUDE.md policy);
+    # bf16 exists ONLY for perf ablations (scripts/profile_train_step.py
+    # --mode fwdbwd_bf16bn) to price the fp32 cast chains.
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -166,7 +170,7 @@ class ResNet(nn.Module):
             # BatchNorm statistics and affine math in fp32 for stability;
             # the surrounding convs run in bf16 on the MXU.
             norm = partial(nn.BatchNorm, use_running_average=not train,
-                           momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                           momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
                            param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)

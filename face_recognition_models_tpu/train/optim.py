@@ -12,8 +12,10 @@ add_decayed_weights -> trace(momentum) -> scale_by_learning_rate.
 
 from __future__ import annotations
 
-from typing import Callable, Union
+from typing import Any, Callable, NamedTuple, Union
 
+import jax
+import jax.numpy as jnp
 import optax
 
 # Default hyperparameters mirroring the reference's OPTIMIZER_CONFIGS
@@ -40,6 +42,55 @@ def _wd(decay: float) -> list:
     return [optax.add_decayed_weights(decay)] if decay else []
 
 
+class FusedSGDState(NamedTuple):
+    count: jnp.ndarray   # schedule step, like ScaleByScheduleState.count
+    trace: Any           # momentum buffers, like TraceState.trace
+
+
+def fused_sgd(lr: ScheduleOrFloat, momentum: float = 0.9,
+              weight_decay: float = 0.0,
+              nesterov: bool = False) -> optax.GradientTransformation:
+    """torch.optim.SGD semantics in ONE pass over the parameter tree.
+
+    Math identical to chain(add_decayed_weights, trace, scale_by_lr) —
+    wd is added to the gradient BEFORE momentum accumulation, exactly
+    torch's ordering (reference utils/optimizers.py:19-23) — but emitted
+    as a single per-leaf elementwise fusion instead of three chained
+    transforms each materializing a full updates tree. Measured on the
+    b512/C=10,575 ResNet-50 step: the chained form costs 3.8 ms of the
+    57 ms step (~6x its HBM speed-of-light); see PERF.md "Train-step
+    decomposition".
+    """
+
+    def init(params):
+        return FusedSGDState(count=jnp.zeros([], jnp.int32),
+                             trace=jax.tree.map(jnp.zeros_like, params))
+
+    def update(grads, state, params=None):
+        if weight_decay and params is None:
+            raise ValueError("fused_sgd with weight_decay needs params")
+        lr_t = lr(state.count) if callable(lr) else lr
+
+        def leaf(g, mom, p):
+            g32 = g.astype(mom.dtype)
+            if weight_decay:
+                g32 = g32 + weight_decay * p.astype(mom.dtype)
+            mom2 = momentum * mom + g32
+            d = (g32 + momentum * mom2) if nesterov else mom2
+            return (-lr_t * d).astype(g.dtype), mom2
+
+        if params is None:
+            params = grads  # placeholder; leaf ignores p when wd == 0
+        pairs = jax.tree.map(leaf, grads, state.trace, params)
+        is_pair = lambda t: isinstance(t, tuple)  # leaves are arrays
+        updates = jax.tree.map(lambda t: t[0], pairs, is_leaf=is_pair)
+        new_trace = jax.tree.map(lambda t: t[1], pairs, is_leaf=is_pair)
+        return updates, FusedSGDState(count=state.count + 1,
+                                      trace=new_trace)
+
+    return optax.GradientTransformation(init, update)
+
+
 def get_optimizer(choice: Union[int, str], learning_rate: ScheduleOrFloat,
                   **overrides) -> optax.GradientTransformation:
     """Create an optimizer by name or 1-based id with a schedule or float lr."""
@@ -57,11 +108,9 @@ def get_optimizer(choice: Union[int, str], learning_rate: ScheduleOrFloat,
     lr = learning_rate
 
     if name == "sgd":
-        return optax.chain(
-            *_wd(cfg["weight_decay"]),
-            optax.trace(decay=cfg["momentum"], nesterov=cfg["nesterov"]),
-            optax.scale_by_learning_rate(lr),
-        )
+        return fused_sgd(lr, momentum=cfg["momentum"],
+                         weight_decay=cfg["weight_decay"],
+                         nesterov=cfg["nesterov"])
     if name == "adam":
         return optax.chain(
             *_wd(cfg["weight_decay"]),

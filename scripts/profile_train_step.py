@@ -28,6 +28,7 @@ All timings use the scan-chained value-fetch discipline (bench.py).
 from __future__ import annotations
 
 import argparse
+from functools import partial
 import json
 import time
 
@@ -52,8 +53,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
                     choices=["step", "fwd_eval", "fwd_train", "fwdbwd",
-                             "fwdbwd_nobn", "opt_only", "step_nonorm",
-                             "head_only"])
+                             "fwdbwd_nobn", "fwdbwd_bf16bn", "opt_only",
+                             "step_nonorm", "head_only", "stage"])
+    ap.add_argument("--stage", default="layer3",
+                    choices=["layer1", "layer2", "layer3", "layer4"])
+    ap.add_argument("--bf16-bn", action="store_true")
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--head", default="arcface")
     ap.add_argument("--batch", type=int, default=512)
@@ -99,10 +103,14 @@ def main():
         use_fused = {"auto": "auto", "fused": True, "jnp": False}[args.path]
         step_fn = make_train_step(backbone, head, head_cfg, tx,
                                   use_fused_head=use_fused)
+        # xs passed as an ARGUMENT, not a closure: the tunnel serializes
+        # closures into the compile request (771 MB of normalized fp32
+        # images → HTTP 413 "length limit exceeded").
         xs = (jnp.asarray(imgs_u8) if mode == "step"
-              else normalize_images(jnp.asarray(imgs_u8)), jnp.asarray(labels))
+              else jax.jit(normalize_images)(jnp.asarray(imgs_u8)),
+              jnp.asarray(labels))
 
-        def chunk(carry, _):
+        def chunk(carry, xs):
             st = carry[1]
             def body(s, batch):
                 s2, m = step_fn(s, batch[0], batch[1])
@@ -111,14 +119,25 @@ def main():
             return (losses[-1] + 0 * carry[0], st)
 
         jit_chunk = jax.jit(chunk, donate_argnums=(0,))
-        ms = _timeit(jit_chunk, (jnp.float32(0), state), None, args.scan,
+        ms = _timeit(jit_chunk, (jnp.float32(0), state), xs, args.scan,
                      sync_loss)
 
-    elif mode in ("fwd_eval", "fwd_train", "fwdbwd", "fwdbwd_nobn"):
-        imgs = normalize_images(jnp.asarray(imgs_u8))
+    elif mode in ("fwd_eval", "fwd_train", "fwdbwd", "fwdbwd_nobn",
+                  "fwdbwd_bf16bn"):
+        if mode == "fwdbwd_bf16bn":
+            # same params, BN compute in bf16 — prices the fp32 cast chains
+            from face_recognition_models_tpu.models import resnet
+            assert args.backbone == "resnet50"
+            backbone = resnet.resnet50().clone(bn_dtype=jnp.bfloat16)
+        # Mirror mode=step's working structure exactly: uint8 images enter
+        # the jitted chunk as scan xs and are normalized inside. (An earlier
+        # version closed over a 771 MB eagerly-normalized constant — that
+        # hangs >10 min through the tunnel.)
+        xs_u8 = jnp.asarray(imgs_u8)
         train_flag = mode in ("fwd_train", "fwdbwd")
 
-        def fwd_loss(params, batch_stats, im):
+        def fwd_loss(params, batch_stats, im_u8):
+            im = normalize_images(im_u8)
             out = backbone.apply(
                 {"params": params, "batch_stats": batch_stats}, im,
                 train=train_flag,
@@ -126,23 +145,23 @@ def main():
             feats = out[0] if train_flag else out
             return jnp.sum(feats.astype(jnp.float32) ** 2)
 
-        if mode.startswith("fwd"):
-            def chunk(carry, _):
+        if mode in ("fwd_eval", "fwd_train"):
+            def chunk(carry, xs):
                 acc, params = carry
-                def body(a, im):
-                    return a + fwd_loss(params, state.batch_stats, im), None
-                acc, _ = jax.lax.scan(body, acc, imgs)
+                def body(a, im_u8):
+                    return a + fwd_loss(params, state.batch_stats, im_u8), None
+                acc, _ = jax.lax.scan(body, acc, xs)
                 return (acc, params)
         else:
             grad_fn = jax.grad(fwd_loss)
 
-            def chunk(carry, _):
+            def chunk(carry, xs):
                 acc, params = carry
-                def body(p, im):
-                    g = grad_fn(p, state.batch_stats, im)
+                def body(p, im_u8):
+                    g = grad_fn(p, state.batch_stats, im_u8)
                     # chain: tiny update keeps a real dependency
                     return jax.tree.map(lambda x, gg: x - 1e-12 * gg, p, g), None
-                params, _ = jax.lax.scan(body, params, imgs)
+                params, _ = jax.lax.scan(body, params, xs)
                 return (acc, params)
 
         jit_chunk = jax.jit(chunk, donate_argnums=(0,))
@@ -151,7 +170,72 @@ def main():
             _ = float(np.asarray(jax.tree.leaves(carry)[0]).reshape(-1)[-1])
 
         ms = _timeit(jit_chunk, (jnp.float32(0), state.params["backbone"]),
-                     None, args.scan, sync)
+                     xs_u8, args.scan, sync)
+
+    elif mode == "stage":
+        # fwd+bwd of ONE ResNet-50 stage at its in-network shape (112px
+        # input: conv1+pool -> 28x28x64; layer1 28^2 -> layer4 4^2).
+        import flax.linen as nn
+
+        from face_recognition_models_tpu.models import resnet
+
+        stage_shapes = {  # name: (in_hw, in_c, filters, n_blocks, stride)
+            "layer1": (28, 64, 64, 3, 1),
+            "layer2": (28, 256, 128, 4, 2),
+            "layer3": (14, 512, 256, 6, 2),
+            "layer4": (7, 1024, 512, 3, 2),
+        }
+        hw, c_in, filt, n_blocks, stride0 = stage_shapes[args.stage]
+        bn_dtype = jnp.bfloat16 if args.bf16_bn else jnp.float32
+
+        class Stage(nn.Module):
+            @nn.compact
+            def __call__(self, x):
+                conv = partial(nn.Conv, use_bias=False, dtype=jnp.bfloat16,
+                               param_dtype=jnp.float32)
+                norm = partial(nn.BatchNorm, use_running_average=True,
+                               momentum=0.9, epsilon=1e-5, dtype=bn_dtype,
+                               param_dtype=jnp.float32)
+                for j in range(n_blocks):
+                    x = resnet.Bottleneck(
+                        filters=filt, stride=stride0 if j == 0 else 1,
+                        conv=conv, norm=norm, dtype=jnp.bfloat16,
+                        name=f"b{j}")(x)
+                    x = x.astype(jnp.bfloat16)
+                return x
+
+        stage = Stage()
+        x0 = jnp.asarray(rs.randn(args.batch, hw, hw, c_in), jnp.bfloat16)
+        variables = stage.init(jax.random.PRNGKey(0), x0)
+        params = variables["params"]
+
+        def loss(p, x):
+            out = stage.apply({"params": p,
+                               "batch_stats": variables["batch_stats"]}, x)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        grad_fn = jax.grad(loss)
+
+        def chunk(carry, _):
+            p, x = carry
+            def body(c, _):
+                pp, xx = c
+                g = grad_fn(pp, xx)
+                return (jax.tree.map(lambda a, b: a - 1e-12 * b, pp, g),
+                        xx), None
+            (p, x), _ = jax.lax.scan(body, (p, x), None, length=args.scan)
+            return (p, x)
+
+        jit_chunk = jax.jit(chunk, donate_argnums=(0,))
+
+        def sync(carry):
+            _ = float(np.asarray(jax.tree.leaves(carry)[0]).reshape(-1)[0])
+
+        ms = _timeit(jit_chunk, (params, x0), None, args.scan, sync)
+        print(json.dumps({"metric": "train_step_profile", "mode": "stage",
+                          "stage": args.stage, "bf16_bn": args.bf16_bn,
+                          "batch": args.batch, "ms": round(ms, 2)}))
+        return
 
     elif mode == "opt_only":
         params = state.params

@@ -54,6 +54,7 @@ def test_head_overrides():
     assert model.head_cfg.margin_type == "arc"
 
 
+@pytest.mark.slow
 def test_memory_training_toggle():
     model = _tiny(api.VPLArcFaceNet)
     _, _, state = model.init(jax.random.PRNGKey(0))

@@ -39,6 +39,7 @@ def test_batch_stats_update_in_train_mode():
     assert changed
 
 
+@pytest.mark.slow
 def test_eval_mode_deterministic():
     model = get_backbone("efficientnet_b0", embed_dim=32, dtype=jnp.float32)
     rng = jax.random.PRNGKey(0)

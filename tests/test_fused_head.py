@@ -211,6 +211,7 @@ def test_fused_wins_dispatch_table():
     assert fused_wins("qaface", 131072, platform="tpu")
 
 
+@pytest.mark.slow
 def test_auto_train_step_resolves_to_jnp_on_cpu():
     """make_train_step(use_fused_head='auto') must pick the jnp path here
     (CPU) — building it must not require Pallas lowering."""

@@ -148,6 +148,7 @@ def test_facenet_verification_end_to_end(tmp_path, dataset):
     assert res.mean_auc > 0.85, res
 
 
+@pytest.mark.slow
 def test_scan_chunk_losses_match_per_step():
     """A scan chunk runs the SAME step sequence as per-step dispatches:
     the per-step losses inside one chunk must match exactly. (Full
@@ -190,6 +191,7 @@ def test_scan_chunk_losses_match_per_step():
                                rtol=5e-4)
 
 
+@pytest.mark.slow
 def test_scan_steps_driver_e2e():
     """fit(scan_steps=2) with an odd step count: chunked + leftover batches
     all execute, loss is finite, throughput accounting covers all images."""
@@ -211,6 +213,7 @@ def test_scan_steps_driver_e2e():
     assert result.steps_per_sec > 0
 
 
+@pytest.mark.slow
 def test_fit_warm_start_uses_given_backbone(dataset):
     """fit(warm_start=(params, stats)) must train FROM the given backbone —
     the in-memory fine-tune path (scripts/convergence_run.py two-stage

@@ -26,6 +26,7 @@ from face_recognition_models_tpu.detection.mtcnn import (
 )
 
 
+@pytest.mark.slow
 def test_net_output_shapes():
     rng = jax.random.PRNGKey(0)
     p = PNet()
@@ -120,6 +121,7 @@ def test_square_and_regress_oracles():
     np.testing.assert_allclose(out[0], [1.1, 2.1, 8.9, 17.9])
 
 
+@pytest.mark.slow
 def test_pipeline_runs_end_to_end_random_weights():
     """The full cascade executes on a real image array (random weights:
     detections are arbitrary or empty, but every stage must run)."""

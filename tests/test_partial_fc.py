@@ -82,6 +82,7 @@ def _make(head_name, C, batch, partial, image_size=24, seed=0, lr=0.1,
     return jax.jit(step), state
 
 
+@pytest.mark.slow
 def test_full_sample_matches_dense_step():
     """With C_s == C the sampled step IS the dense step (columns permuted):
     loss and the post-step kernel must match the dense path."""
@@ -113,6 +114,7 @@ def test_full_sample_matches_dense_step():
         rtol=5e-3, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_unsampled_columns_untouched():
     C, batch, C_s = 256, 8, 32
     rs = np.random.RandomState(1)
@@ -129,8 +131,12 @@ def test_unsampled_columns_untouched():
     assert set(np.flatnonzero(np.any(mom != 0, axis=0))) == set(changed)
 
 
-@pytest.mark.parametrize("head_name", ["arcface", "adaface", "magface",
-                                       "elastic_arcface"])
+@pytest.mark.parametrize("head_name", [
+    "arcface",
+    pytest.param("adaface", marks=pytest.mark.slow),
+    pytest.param("magface", marks=pytest.mark.slow),
+    pytest.param("elastic_arcface", marks=pytest.mark.slow),
+])
 def test_partial_fc_loss_decreases(head_name):
     C, batch, C_s = 512, 16, 64
     rs = np.random.RandomState(2)
@@ -179,6 +185,7 @@ def test_fit_with_partial_fc():
     assert num_sampled_classes(2048, 0.05, 16) == 256
 
 
+@pytest.mark.slow
 def test_partial_fc_on_8_device_dp_mesh():
     """Partial-FC under DP: kernel replicated, batch sharded over 'data';
     the sampled-column updates must match the single-device run exactly

@@ -91,6 +91,7 @@ def test_local_sample_contract():
         assert len(set(negs)) == len(negs)
 
 
+@pytest.mark.slow
 def test_full_local_coverage_matches_dense_step():
     """batch = C with one positive per class: every shard's positives fill
     its whole range (C_s_local == c_local, zero negatives) — the sharded
@@ -131,7 +132,10 @@ def test_sharded_kernel_and_momentum_shardings():
     assert mspec == P(None, "model")
 
 
-@pytest.mark.parametrize("head_name", ["arcface", "adaface"])
+@pytest.mark.parametrize("head_name", [
+    "arcface",
+    pytest.param("adaface", marks=pytest.mark.slow),
+])
 def test_sharded_partial_fc_loss_decreases(head_name):
     C, batch, C_s_l = 256, 16, 32     # c_local=64, 16 negs/shard
     mesh = make_mesh(cfg_lib.MeshConfig(data=2, model=4))

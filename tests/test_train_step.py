@@ -132,6 +132,43 @@ def test_sgd_matches_torch_semantics():
                                p_t.detach().numpy(), rtol=1e-5, atol=1e-6)
 
 
+def test_fused_sgd_matches_chained_optax():
+    """fused_sgd (single-pass) == chain(add_decayed_weights, trace,
+    scale_by_lr) over multiple steps, for float lr, schedule, and
+    nesterov."""
+    import optax
+
+    from face_recognition_models_tpu.train.optim import fused_sgd
+
+    tree0 = {"a": np.random.RandomState(0).randn(8, 4).astype(np.float32),
+             "b": np.random.RandomState(1).randn(5).astype(np.float32)}
+    gs = [jax.tree.map(
+        lambda x: jnp.asarray(
+            np.random.RandomState(10 + i).randn(*x.shape).astype(np.float32)),
+        tree0) for i in range(4)]
+    sched = lambda c: 0.1 * (0.5 ** jnp.asarray(c, jnp.float32))
+
+    for lr, nesterov, wd in [(0.1, False, 5e-4), (0.1, True, 5e-4),
+                             (sched, False, 5e-4), (0.1, False, 0.0)]:
+        chain = optax.chain(
+            *([optax.add_decayed_weights(wd)] if wd else []),
+            optax.trace(decay=0.9, nesterov=nesterov),
+            optax.scale_by_learning_rate(lr))
+        fused = fused_sgd(lr, momentum=0.9, weight_decay=wd,
+                          nesterov=nesterov)
+        p_c = jax.tree.map(jnp.asarray, tree0)
+        p_f = jax.tree.map(jnp.asarray, tree0)
+        s_c, s_f = chain.init(p_c), fused.init(p_f)
+        for g in gs:
+            u_c, s_c = chain.update(g, s_c, p_c)
+            p_c = optax.apply_updates(p_c, u_c)
+            u_f, s_f = fused.update(g, s_f, p_f)
+            p_f = optax.apply_updates(p_f, u_f)
+        for x, y in zip(jax.tree.leaves(p_c), jax.tree.leaves(p_f)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-6, atol=1e-7)
+
+
 def test_train_step_on_8_device_mesh():
     """pjit DP over 'data' + class-sharded kernel over 'model'."""
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
