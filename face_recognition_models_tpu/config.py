@@ -303,6 +303,13 @@ class TrainConfig:
     # (the reference's torch.amp GradScaler has no TPU equivalent).
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
+    # BatchNorm normalize/affine compute dtype. Batch statistics reduce in
+    # fp32 regardless (flax force_float32_reductions), so "bfloat16" only
+    # drops the fp32 cast chains around each norm: measured -12.4 ms on
+    # the b512 ResNet-50 train step with verification quality unchanged
+    # (PERF.md "Train-step decomposition"). "float32" matches the
+    # reference recipe exactly (torch.amp autocast keeps BN fp32).
+    bn_dtype: str = "float32"
     seed: int = 0
     working_path: str = ""
     model_name: str = ""

@@ -30,10 +30,16 @@ BACKBONES = {
 
 
 def get_backbone(name: str = "resnet18", embed_dim: int = 512,
-                 dtype: Any = jnp.bfloat16):
-    """Build a backbone module producing [N, embed_dim] embeddings."""
+                 dtype: Any = jnp.bfloat16, bn_dtype: Any = jnp.float32):
+    """Build a backbone module producing [N, embed_dim] embeddings.
+
+    bn_dtype sets the BatchNorm normalize/affine compute dtype; batch
+    statistics always reduce in fp32 (flax force_float32_reductions).
+    bf16 saves ~12 ms on the b512 ResNet-50 train step (PERF.md).
+    """
     key = name.lower()
     if key not in BACKBONES:
         raise ValueError(
             f"Unsupported backbone: {name}. Available: {sorted(BACKBONES)}")
-    return BACKBONES[key](embed_dim=embed_dim, dtype=dtype)
+    return BACKBONES[key](embed_dim=embed_dim, dtype=dtype,
+                          bn_dtype=bn_dtype)

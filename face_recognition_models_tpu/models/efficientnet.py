@@ -98,6 +98,9 @@ class EfficientNetB0(nn.Module):
     dropout_rate: float = 0.2
     stochastic_depth: float = 0.2
     dtype: Any = jnp.bfloat16
+    # BN normalize/affine compute dtype; statistics reduce in fp32 either
+    # way (flax force_float32_reductions). See models/resnet.py bn_dtype.
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -111,7 +114,7 @@ class EfficientNetB0(nn.Module):
         # (not the TF original's 1e-3); match it so ported ImageNet weights
         # (utils/torch_port.py) are numerically faithful.
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                       momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
                        param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
@@ -143,5 +146,7 @@ class EfficientNetB0(nn.Module):
         return x
 
 
-def efficientnet_b0(embed_dim: int = 512, dtype: Any = jnp.bfloat16) -> EfficientNetB0:
-    return EfficientNetB0(embed_dim=embed_dim, dtype=dtype)
+def efficientnet_b0(embed_dim: int = 512, dtype: Any = jnp.bfloat16,
+                    bn_dtype: Any = jnp.float32) -> EfficientNetB0:
+    return EfficientNetB0(embed_dim=embed_dim, dtype=dtype,
+                          bn_dtype=bn_dtype)

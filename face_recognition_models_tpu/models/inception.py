@@ -31,6 +31,7 @@ class BasicConv2d(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     padding: Any = "VALID"
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,7 +39,7 @@ class BasicConv2d(nn.Module):
                     padding=self.padding, use_bias=False, dtype=self.dtype,
                     param_dtype=jnp.float32, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, dtype=jnp.float32,
+                         epsilon=1e-3, dtype=self.bn_dtype,
                          param_dtype=jnp.float32, name="bn")(x)
         return nn.relu(x).astype(self.dtype)
 
@@ -53,10 +54,11 @@ def _avg_pool_same(x):
 class InceptionA(nn.Module):
     pool_features: int
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        c = partial(BasicConv2d, dtype=self.dtype)
+        c = partial(BasicConv2d, dtype=self.dtype, bn_dtype=self.bn_dtype)
         b1 = c(64, (1, 1), name="branch1x1")(x, train)
         b5 = c(48, (1, 1), name="branch5x5_1")(x, train)
         b5 = c(64, (5, 5), padding=[(2, 2), (2, 2)],
@@ -73,10 +75,11 @@ class InceptionA(nn.Module):
 
 class InceptionB(nn.Module):
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        c = partial(BasicConv2d, dtype=self.dtype)
+        c = partial(BasicConv2d, dtype=self.dtype, bn_dtype=self.bn_dtype)
         b3 = c(384, (3, 3), strides=(2, 2), name="branch3x3")(x, train)
         bd = c(64, (1, 1), name="branch3x3dbl_1")(x, train)
         bd = c(96, (3, 3), padding=[(1, 1), (1, 1)],
@@ -89,10 +92,11 @@ class InceptionB(nn.Module):
 class InceptionC(nn.Module):
     channels_7x7: int
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        c = partial(BasicConv2d, dtype=self.dtype)
+        c = partial(BasicConv2d, dtype=self.dtype, bn_dtype=self.bn_dtype)
         c7 = self.channels_7x7
         p17, p71 = [(0, 0), (3, 3)], [(3, 3), (0, 0)]
         b1 = c(192, (1, 1), name="branch1x1")(x, train)
@@ -110,10 +114,11 @@ class InceptionC(nn.Module):
 
 class InceptionD(nn.Module):
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        c = partial(BasicConv2d, dtype=self.dtype)
+        c = partial(BasicConv2d, dtype=self.dtype, bn_dtype=self.bn_dtype)
         p17, p71 = [(0, 0), (3, 3)], [(3, 3), (0, 0)]
         b3 = c(192, (1, 1), name="branch3x3_1")(x, train)
         b3 = c(320, (3, 3), strides=(2, 2), name="branch3x3_2")(b3, train)
@@ -127,10 +132,11 @@ class InceptionD(nn.Module):
 
 class InceptionE(nn.Module):
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train=False):
-        c = partial(BasicConv2d, dtype=self.dtype)
+        c = partial(BasicConv2d, dtype=self.dtype, bn_dtype=self.bn_dtype)
         p13, p31 = [(0, 0), (1, 1)], [(1, 1), (0, 0)]
         b1 = c(320, (1, 1), name="branch1x1")(x, train)
         b3 = c(384, (1, 1), name="branch3x3_1")(x, train)
@@ -154,6 +160,7 @@ class InceptionV3(nn.Module):
 
     embed_dim: int = 128
     dtype: Any = jnp.bfloat16
+    bn_dtype: Any = jnp.float32
     dropout_rate: float = 0.5
 
     @nn.compact
@@ -164,7 +171,7 @@ class InceptionV3(nn.Module):
         if x.shape[1] < 75 or x.shape[2] < 75:
             raise ValueError(
                 f"Inception-v3 needs inputs >= 75 px, got {x.shape}.")
-        c = partial(BasicConv2d, dtype=self.dtype)
+        c = partial(BasicConv2d, dtype=self.dtype, bn_dtype=self.bn_dtype)
         x = x.astype(self.dtype)
         x = c(32, (3, 3), strides=(2, 2), name="Conv2d_1a_3x3")(x, train)
         x = c(32, (3, 3), name="Conv2d_2a_3x3")(x, train)
@@ -175,17 +182,17 @@ class InceptionV3(nn.Module):
         x = c(192, (3, 3), name="Conv2d_4a_3x3")(x, train)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
 
-        x = InceptionA(32, dtype=self.dtype, name="Mixed_5b")(x, train)
-        x = InceptionA(64, dtype=self.dtype, name="Mixed_5c")(x, train)
-        x = InceptionA(64, dtype=self.dtype, name="Mixed_5d")(x, train)
-        x = InceptionB(dtype=self.dtype, name="Mixed_6a")(x, train)
-        x = InceptionC(128, dtype=self.dtype, name="Mixed_6b")(x, train)
-        x = InceptionC(160, dtype=self.dtype, name="Mixed_6c")(x, train)
-        x = InceptionC(160, dtype=self.dtype, name="Mixed_6d")(x, train)
-        x = InceptionC(192, dtype=self.dtype, name="Mixed_6e")(x, train)
-        x = InceptionD(dtype=self.dtype, name="Mixed_7a")(x, train)
-        x = InceptionE(dtype=self.dtype, name="Mixed_7b")(x, train)
-        x = InceptionE(dtype=self.dtype, name="Mixed_7c")(x, train)
+        x = InceptionA(32, dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_5b")(x, train)
+        x = InceptionA(64, dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_5c")(x, train)
+        x = InceptionA(64, dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_5d")(x, train)
+        x = InceptionB(dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_6a")(x, train)
+        x = InceptionC(128, dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_6b")(x, train)
+        x = InceptionC(160, dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_6c")(x, train)
+        x = InceptionC(160, dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_6d")(x, train)
+        x = InceptionC(192, dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_6e")(x, train)
+        x = InceptionD(dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_7a")(x, train)
+        x = InceptionE(dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_7b")(x, train)
+        x = InceptionE(dtype=self.dtype, bn_dtype=self.bn_dtype, name="Mixed_7c")(x, train)
 
         x = jnp.mean(x, axis=(1, 2))  # adaptive avg pool -> [N, 2048]
         x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
@@ -194,5 +201,6 @@ class InceptionV3(nn.Module):
 
 
 def inception_v3(embed_dim: int = 512,
-                 dtype: Any = jnp.bfloat16) -> InceptionV3:
-    return InceptionV3(embed_dim=embed_dim, dtype=dtype)
+                 dtype: Any = jnp.bfloat16,
+                 bn_dtype: Any = jnp.float32) -> InceptionV3:
+    return InceptionV3(embed_dim=embed_dim, dtype=dtype, bn_dtype=bn_dtype)

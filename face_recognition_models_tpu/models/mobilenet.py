@@ -66,6 +66,9 @@ class MobileNetV2(nn.Module):
     width_mult: float = 1.0
     dropout_rate: float = 0.2
     dtype: Any = jnp.bfloat16
+    # BN normalize/affine compute dtype; statistics reduce in fp32 either
+    # way (flax force_float32_reductions). See models/resnet.py bn_dtype.
+    bn_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -79,7 +82,7 @@ class MobileNetV2(nn.Module):
         # match it so ported ImageNet weights (utils/torch_port.py) are
         # numerically faithful.
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=jnp.float32,
+                       momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
                        param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
@@ -110,5 +113,6 @@ class MobileNetV2(nn.Module):
         return x
 
 
-def mobilenet_v2(embed_dim: int = 512, dtype: Any = jnp.bfloat16) -> MobileNetV2:
-    return MobileNetV2(embed_dim=embed_dim, dtype=dtype)
+def mobilenet_v2(embed_dim: int = 512, dtype: Any = jnp.bfloat16,
+                 bn_dtype: Any = jnp.float32) -> MobileNetV2:
+    return MobileNetV2(embed_dim=embed_dim, dtype=dtype, bn_dtype=bn_dtype)

@@ -149,9 +149,12 @@ class ResNet(nn.Module):
     # BN-folded inference mode: convs carry biases, norms are identity.
     # Params come from models.folding.fold_resnet_bn (serving/export).
     folded: bool = False
-    # BN compute dtype. fp32 is the supported default (CLAUDE.md policy);
-    # bf16 exists ONLY for perf ablations (scripts/profile_train_step.py
-    # --mode fwdbwd_bf16bn) to price the fp32 cast chains.
+    # BN compute dtype for the normalize/affine elementwise math and its
+    # backward. Batch STATISTICS are always reduced in fp32 regardless
+    # (flax force_float32_reductions), so bf16 here only drops the fp32
+    # cast chains around each norm — measured ~12 ms/step on the b512
+    # ResNet-50 train step (PERF.md "Train-step decomposition") with
+    # verification quality unchanged. fp32 remains the parity default.
     bn_dtype: Any = jnp.float32
 
     @nn.compact
@@ -202,11 +205,13 @@ class ResNet(nn.Module):
         return x
 
 
-def resnet18(embed_dim: int = 512, dtype: Any = jnp.bfloat16) -> ResNet:
+def resnet18(embed_dim: int = 512, dtype: Any = jnp.bfloat16,
+             bn_dtype: Any = jnp.float32) -> ResNet:
     return ResNet(stage_sizes=(2, 2, 2, 2), block=BasicBlock,
-                  embed_dim=embed_dim, dtype=dtype)
+                  embed_dim=embed_dim, dtype=dtype, bn_dtype=bn_dtype)
 
 
-def resnet50(embed_dim: int = 512, dtype: Any = jnp.bfloat16) -> ResNet:
+def resnet50(embed_dim: int = 512, dtype: Any = jnp.bfloat16,
+             bn_dtype: Any = jnp.float32) -> ResNet:
     return ResNet(stage_sizes=(3, 4, 6, 3), block=Bottleneck,
-                  embed_dim=embed_dim, dtype=dtype)
+                  embed_dim=embed_dim, dtype=dtype, bn_dtype=bn_dtype)

@@ -31,7 +31,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _TAPS = tuple((a, b) for a in (-1, 0, 1) for b in (-1, 0, 1))
 
@@ -49,9 +48,12 @@ def _kernel(x_ref, w_ref, y_ref, *, h: int, w: int, bn: int,
     acc = jnp.zeros((rows, y_ref.shape[-1]), jnp.float32)
     for t, (a, b) in enumerate(_TAPS):
         s = a * w + b
-        # want shifted[r] = x2[r + s]; pltpu.roll needs a non-negative
-        # shift, and a circular -s is (rows - s) mod rows
-        shifted = pltpu.roll(x2, (-s) % rows, 0) if s else x2
+        # want shifted[r] = x2[(r + s) % rows]. The shift is STATIC, so a
+        # two-slice concatenate expresses the rotate without tpu.roll —
+        # Mosaic's dynamic_rotate is unimplemented for non-32-bit data
+        # (bf16), while static slices/concat lower for every dtype.
+        k = s % rows
+        shifted = (jnp.concatenate([x2[k:], x2[:k]], axis=0) if k else x2)
         valid = ((hh + a >= 0) & (hh + a < h)
                  & (ww + b >= 0) & (ww + b < w))
         masked = jnp.where(valid, shifted, jnp.zeros_like(shifted))

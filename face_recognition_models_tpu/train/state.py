@@ -40,7 +40,7 @@ def create_train_state(cfg: TrainConfig, head_cfg, tx: optax.GradientTransformat
 
     dtype = jnp.dtype(cfg.compute_dtype)
     backbone = get_backbone(cfg.backbone, embed_dim=head_cfg.feature_dim,
-                            dtype=dtype)
+                            dtype=dtype, bn_dtype=jnp.dtype(cfg.bn_dtype))
     dummy = jnp.zeros((1, cfg.data.image_size, cfg.data.image_size, 3),
                       jnp.float32)
     variables = backbone.init({"params": k_model, "dropout": k_model},

@@ -91,7 +91,7 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
     cfg = cfg_lib.TrainConfig(
         backbone=args.backbone, head=args.head, num_classes=classes,
         batch_size=args.batch, epochs=epochs,
-        print_freq=args.print_freq,
+        print_freq=args.print_freq, bn_dtype=args.bn_dtype,
         scan_steps=args.scan_steps, partial_fc=args.partial_fc,
         optimizer=cfg_lib.OptimizerConfig(learning_rate=lr),
         data=cfg_lib.DataConfig(image_size=args.image_size))
@@ -107,6 +107,7 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
         "head": args.head, "backbone": args.backbone,
         "classes": classes, "batch": args.batch, "epochs": epochs,
         "lr": lr, "partial_fc": args.partial_fc,
+        "bn_dtype": args.bn_dtype,
         "warm_started": warm_start is not None,
         "mean_accuracy": round(res.mean_accuracy, 3),
         "std_accuracy": round(res.std_accuracy, 3),
@@ -129,6 +130,8 @@ def main():
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--lr", type=float, default=0.1)
     ap.add_argument("--scan-steps", type=int, default=8)
+    ap.add_argument("--bn-dtype", choices=["float32", "bfloat16"],
+                    default="float32")
     ap.add_argument("--partial-fc", type=float, default=0.0)
     ap.add_argument("--pairs-per-kind", type=int, default=1000)
     ap.add_argument("--print-freq", type=int, default=100)

@@ -85,6 +85,7 @@ def main():
     cfg = cfg_lib.TrainConfig(
         backbone=args.backbone, head=args.head, num_classes=args.classes,
         batch_size=args.batch,
+        bn_dtype="bfloat16" if args.bf16_bn else "float32",
         data=cfg_lib.DataConfig(image_size=args.image_size))
     head_cfg = cfg_lib.make_head_config(args.head, num_classes=args.classes)
     tx = get_optimizer("sgd", 0.1, momentum=0.9, weight_decay=5e-4)

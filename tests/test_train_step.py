@@ -255,3 +255,35 @@ def test_dropout_backbone_train_step():
     state, m1 = step(state, images, labels)
     state, m2 = step(state, images, labels)
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+def test_bf16_bn_matches_fp32_bn():
+    """cfg.bn_dtype='bfloat16' lowers only the BN normalize/affine compute
+    dtype: batch statistics and params stay fp32 (flax reduces stats in
+    fp32 regardless), so the loss must track the fp32-BN step to bf16
+    rounding. Guards the -12 ms/step TPU knob (PERF.md decomposition)."""
+    from face_recognition_models_tpu.train.state import create_train_state
+
+    losses = {}
+    for bn_dtype in ("float32", "bfloat16"):
+        cfg = cfg_lib.TrainConfig(
+            backbone="resnet18", head="arcface", num_classes=C,
+            batch_size=8, bn_dtype=bn_dtype, compute_dtype="float32",
+            data=cfg_lib.DataConfig(image_size=IMG))
+        head_cfg = cfg_lib.make_head_config("arcface", num_classes=C)
+        tx = get_optimizer("sgd", 0.1, momentum=0.9, weight_decay=5e-4)
+        backbone, head, state = create_train_state(cfg, head_cfg, tx)
+        assert backbone.bn_dtype == jnp.dtype(bn_dtype)
+        step = jax.jit(make_train_step(backbone, head, head_cfg, tx,
+                                       use_fused_head=False))
+        images = jax.random.randint(jax.random.PRNGKey(3), (8, IMG, IMG, 3),
+                                    0, 256, jnp.uint8)
+        labels = jnp.zeros((8,), jnp.int32)
+        state, m = step(state, images, labels)
+        # running stats must remain fp32 whatever the compute dtype
+        for leaf in jax.tree.leaves(state.batch_stats):
+            assert leaf.dtype == jnp.float32
+        losses[bn_dtype] = float(m["loss"])
+    assert np.isfinite(losses["bfloat16"])
+    assert abs(losses["bfloat16"] - losses["float32"]) < (
+        0.02 * abs(losses["float32"]))
