@@ -31,6 +31,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _TAPS = tuple((a, b) for a in (-1, 0, 1) for b in (-1, 0, 1))
 
@@ -87,6 +88,12 @@ def conv3x3_same(x: jnp.ndarray, kernel: jnp.ndarray, *, block_n: int = 16,
         out_specs=pl.BlockSpec((block_n, h, w, c_out),
                                lambda i: (i, 0, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, w, c_out), x.dtype),
+        # The unrolled 9-tap loop keeps several [rows, C] temporaries
+        # (shifted/masked copies from the static-slice rotate) live at
+        # once, so the default 16 MB scoped-vmem cap is too tight even for
+        # modest blocks; v5e has 128 MB of VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )
     return fn(x, w9)

@@ -172,10 +172,12 @@ def run_jax_pipeline(head_name, tmodel, kernel_dc, batches, **head_overrides):
     return state, traj
 
 
-def assert_trajectories_match(jax_traj, torch_traj):
+def assert_trajectories_match(jax_traj, torch_traj, loss_rtol=2e-3,
+                              fn_rtol=1.5e-2):
     assert len(jax_traj) == len(torch_traj)
     for step, (j, t) in enumerate(zip(jax_traj, torch_traj)):
-        assert abs(j["loss"] - t["loss"]) <= 2e-3 * max(1.0, abs(t["loss"])), \
+        assert abs(j["loss"] - t["loss"]) <= loss_rtol * max(1.0,
+                                                             abs(t["loss"])), \
             f"loss diverged at step {step}: jax {j['loss']:.6f} vs torch " \
             f"{t['loss']:.6f}"
         assert j["lr"] == pytest.approx(t["lr"], rel=1e-6), \
@@ -183,7 +185,7 @@ def assert_trajectories_match(jax_traj, torch_traj):
         assert abs(j["acc1"] - t["acc1"]) <= 100.0 / N + 1e-6, \
             f"acc1 off by more than one sample at step {step}"
         assert abs(j["feat_norm"] - t["feat_norm"]) <= \
-            1.5e-2 * max(1.0, t["feat_norm"]), f"feat_norm step {step}"
+            fn_rtol * max(1.0, t["feat_norm"]), f"feat_norm step {step}"
 
 
 def _cos(a, b):
@@ -249,3 +251,34 @@ def test_adaface_training_trajectory_matches_reference(ref):
     np.testing.assert_allclose(
         float(np.asarray(jstate.head_state.batch_std)),
         float(tnet.head.batch_std), rtol=5e-2)
+
+
+def test_curricularface_training_trajectory_matches_reference(ref):
+    """CurricularFace (EMA difficulty t + data-dependent hard-negative
+    rescaling): the mask `cos > cos(theta+m)` depends on live training
+    dynamics, so trajectory parity exercises the curriculum feedback the
+    single-step parity tests cannot (criterion.py:491-587)."""
+    torch.manual_seed(2)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(2)
+    head = ref.crit.CurricularFace(D, C, m=0.5, s=64.0, momentum=0.01)
+    head.kernel.data = torch.from_numpy(kernel.copy())
+    batches = make_batches(2, EPOCHS * STEPS_PER_EPOCH)
+
+    jstate, jtraj = run_jax_pipeline("curricularface", tmodel, kernel,
+                                     batches)
+    tnet, ttraj = run_torch_reference(ref, head, tmodel, batches)
+
+    # Looser per-step loss tolerance than arcface/adaface: the mask
+    # `cos > cos(theta+m)` is DISCONTINUOUS, so an fp-reassociation
+    # difference on one borderline cosine flips that element's curriculum
+    # rescale and moves the step loss by a finite amount. Measured over 12
+    # steps the divergence JITTERS in sign (max 1.0e-2, no compounding)
+    # while t tracks to 0.17% — chaos, not bias; tolerance at ~4x measured.
+    assert_trajectories_match(jtraj, ttraj, loss_rtol=4e-2, fn_rtol=5e-2)
+    assert _cos(np.asarray(jstate.params["kernel_w"]),
+                tnet.head.kernel.detach().numpy()) > 0.999
+    # the EMA difficulty buffer fed back into hard-negative scaling must
+    # have tracked through all 12 steps
+    np.testing.assert_allclose(float(np.asarray(jstate.head_state.t)),
+                               float(tnet.head.t), rtol=2e-2, atol=1e-4)
