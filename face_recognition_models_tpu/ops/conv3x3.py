@@ -19,9 +19,12 @@ Per 16-image tile at 7x7x256: 9 rolls + masks (VPU, ~1 us) + 9 matmuls
 (MXU, ~5 us) on a 400 KB block — compute-bound at speed-of-light ~0.15 ms
 for the full b512 conv vs XLA's measured 0.92 ms.
 
-Status: EXPERIMENT (VERDICT round-2 item 8). Correctness is pinned vs
-lax.conv in tests; adoption into the eval path is decided by measured
-wall-clock in PERF.md.
+Status: MEASURED AND REJECTED (PERF.md "Pallas implicit-GEMM 3x3 conv").
+On v5e at the real ResNet-50 stage shapes (b512 bf16) XLA's own conv
+lowering reaches 47-54 TF/s and this kernel never beats it (1.06x slower
+at 7x7, 1.98x at 28x28 where the 9 mask/select passes dominate).
+Correctness stays pinned vs lax.conv in tests/test_conv3x3.py; the kernel
+is kept as the documented experiment, not wired into the models.
 """
 
 from __future__ import annotations

@@ -246,10 +246,10 @@ def test_adaface_training_trajectory_matches_reference(ref):
                 tnet.head.kernel.detach().numpy()) > 0.999
     # the EMA buffers fed back into the margins must have tracked too
     np.testing.assert_allclose(
-        float(np.asarray(jstate.head_state.batch_mean)),
+        float(np.asarray(jstate.head_state.batch_mean).ravel()[0]),
         float(tnet.head.batch_mean), rtol=2e-2)
     np.testing.assert_allclose(
-        float(np.asarray(jstate.head_state.batch_std)),
+        float(np.asarray(jstate.head_state.batch_std).ravel()[0]),
         float(tnet.head.batch_std), rtol=5e-2)
 
 
@@ -280,5 +280,6 @@ def test_curricularface_training_trajectory_matches_reference(ref):
                 tnet.head.kernel.detach().numpy()) > 0.999
     # the EMA difficulty buffer fed back into hard-negative scaling must
     # have tracked through all 12 steps
-    np.testing.assert_allclose(float(np.asarray(jstate.head_state.t)),
-                               float(tnet.head.t), rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(
+        float(np.asarray(jstate.head_state.t).ravel()[0]),
+        float(tnet.head.t), rtol=2e-2, atol=1e-4)
