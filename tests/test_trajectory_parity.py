@@ -84,10 +84,11 @@ def make_batches(seed, steps):
     return out
 
 
-def run_torch_reference(ref, head, tmodel, batches):
+def run_torch_reference(ref, head, tmodel, batches, lambda_g=0.0):
     """The reference recipe verbatim (model_utils.py:556-559, 569-578):
-    CE + SGD(momentum .9, wd 5e-4 over ALL params) + CustomStepLR stepped
-    once per epoch; per-step loss/acc from the head's (pre, post) tuple."""
+    CE + lambda_g * loss_g (model_utils.py:177-180) + SGD(momentum .9,
+    wd 5e-4 over ALL params) + CustomStepLR stepped once per epoch;
+    per-step loss/acc from the head's (pre, post) tuple."""
 
     class _Net(torch.nn.Module):
         def __init__(self):
@@ -111,19 +112,20 @@ def run_torch_reference(ref, head, tmodel, batches):
             x = torch.from_numpy(images.transpose(0, 3, 1, 2))
             t = torch.from_numpy(labels.astype(np.int64))
             (pre, post), norms, loss_g, _ = net(x, t)
-            loss = criterion(post, t)
+            loss = criterion(post, t) + lambda_g * loss_g
             acc1 = (pre.argmax(1) == t).float().mean().item() * 100.0
             opt.zero_grad()
             loss.backward()
             opt.step()
             traj.append(dict(loss=loss.item(), acc1=acc1,
                              lr=opt.param_groups[0]["lr"],
-                             feat_norm=float(norms.float().mean())))
+                             feat_norm=float(norms.detach().float().mean())))
         scheduler.step()
     return net, traj
 
 
-def run_jax_pipeline(head_name, tmodel, kernel_dc, batches, **head_overrides):
+def run_jax_pipeline(head_name, tmodel, kernel_dc, batches, lambda_g=0.0,
+                     **head_overrides):
     """The production path: create_train_state (+ ported torch weights) ->
     make_train_step with get_optimizer('sgd') and the customstep schedule."""
     from face_recognition_models_tpu import config as cfg_lib
@@ -137,6 +139,7 @@ def run_jax_pipeline(head_name, tmodel, kernel_dc, batches, **head_overrides):
     cfg = cfg_lib.TrainConfig(
         backbone="resnet18", head=head_name, num_classes=C,
         batch_size=N, epochs=EPOCHS, compute_dtype="float32",
+        lambda_g=lambda_g,
         optimizer=cfg_lib.OptimizerConfig(
             name="sgd", learning_rate=LR, momentum=MOMENTUM,
             weight_decay=WD),
@@ -161,7 +164,8 @@ def run_jax_pipeline(head_name, tmodel, kernel_dc, batches, **head_overrides):
                           opt_state=tx.init(params))
 
     step_fn = make_train_step(backbone, head, head_cfg, tx,
-                              lr_schedule=schedule, use_fused_head=False)
+                              lambda_g=lambda_g, lr_schedule=schedule,
+                              use_fused_head=False)
     with jax.default_matmul_precision("float32"):
         jit_step = jax.jit(step_fn)
         traj = []
@@ -283,3 +287,37 @@ def test_curricularface_training_trajectory_matches_reference(ref):
     np.testing.assert_allclose(
         float(np.asarray(jstate.head_state.t).ravel()[0]),
         float(tnet.head.t), rtol=2e-2, atol=1e-4)
+
+
+def test_magface_training_trajectory_matches_reference(ref):
+    """MagFace with lambda_g > 0 (model_utils.py:177-180): the per-sample
+    margin AND the magnitude regularizer both depend on the UNNORMALIZED
+    feature norm, so the loss_g gradient flows into the backbone and feeds
+    back into next step's adaptive margin — a dynamics class none of the
+    other trajectory tests exercise (criterion.py:1178-1301; lambda_g wired
+    per model_utils.py:180/482)."""
+    lambda_g = 20.0  # the MagFace paper's operating range; default cfg is 0
+    torch.manual_seed(3)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(3)
+    head = ref.crit.MagFace(D, C, s=64.0, easy_margin=False,
+                            l_margin=0.45, u_margin=0.8, l_a=10.0,
+                            u_a=110.0, device_id=None)
+    head.kernel.data = torch.from_numpy(kernel.copy())
+    batches = make_batches(3, EPOCHS * STEPS_PER_EPOCH)
+
+    jstate, jtraj = run_jax_pipeline("magface", tmodel, kernel, batches,
+                                     lambda_g=lambda_g)
+    tnet, ttraj = run_torch_reference(ref, head, tmodel, batches,
+                                      lambda_g=lambda_g)
+
+    # Looser than arcface: like curricularface, magface's easy_margin=False
+    # branch `cos > cos(pi - m)` is discontinuous per-element, and the
+    # norm-clamp at l_a/u_a adds two more; borderline elements jitter the
+    # step loss without compounding.
+    assert_trajectories_match(jtraj, ttraj, loss_rtol=4e-2, fn_rtol=5e-2)
+    assert _cos(np.asarray(jstate.params["kernel_w"]),
+                tnet.head.kernel.detach().numpy()) > 0.999
+    assert _cos(np.asarray(jstate.params["backbone"]["conv1"]["kernel"]),
+                tnet.backbone.conv1.weight.detach().numpy()
+                .transpose(2, 3, 1, 0)) > 0.999
