@@ -144,19 +144,36 @@ def main():
     ap.add_argument("--finetune-lr", type=float, default=0.02,
                     help="fine-tune stage LR (reference fine-tunes at "
                     "lower LR than from-scratch)")
+    ap.add_argument("--save-backbone", default=None,
+                    help="pickle the stage-1 (backbone params, batch_stats) "
+                    "here so a crashed fine-tune stage can resume")
+    ap.add_argument("--load-backbone", default=None,
+                    help="skip stage 1: load a --save-backbone pickle and "
+                    "go straight to the fine-tune stage")
     args = ap.parse_args()
+
+    import pickle
 
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    result = run_stage(args, args.classes, args.epochs, args.lr, args.seed,
-                       stage="pretrain" if args.finetune_classes else "train")
-
-    if args.finetune_classes:
+    if args.load_backbone:
+        with open(args.load_backbone, "rb") as f:
+            warm = pickle.load(f)
+    else:
+        result = run_stage(args, args.classes, args.epochs, args.lr,
+                           args.seed,
+                           stage="pretrain" if args.finetune_classes
+                           else "train")
         warm = (jax.device_get(result.state.params["backbone"]),
                 jax.device_get(result.state.batch_stats))
+        if args.save_backbone:
+            with open(args.save_backbone, "wb") as f:
+                pickle.dump(warm, f)
         del result
+
+    if args.finetune_classes:
         run_stage(args, args.finetune_classes,
                   args.finetune_epochs or args.epochs, args.finetune_lr,
                   args.seed + 10_000, warm_start=warm, stage="finetune")

@@ -17,6 +17,8 @@ Modes:
   fwdbwd       forward + backward, NO optimizer update
   fwdbwd_nobn  forward + backward with BN in inference mode (isolates the
                cost of batch-stat computation + its backward)
+  fwdbwd_head  full LOSS (backbone + head + CE) fwd+bwd, no optimizer /
+               metrics — brackets the step tail (supports --bf16-bn)
   opt_only     SGD update alone on the param tree (wd + momentum + apply)
   step_nonorm  full step, images pre-normalized floats (isolates the
                uint8 normalize placement)
@@ -53,8 +55,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", required=True,
                     choices=["step", "fwd_eval", "fwd_train", "fwdbwd",
-                             "fwdbwd_nobn", "fwdbwd_bf16bn", "opt_only",
-                             "step_nonorm", "head_only", "stage"])
+                             "fwdbwd_nobn", "fwdbwd_bf16bn", "fwdbwd_head",
+                             "opt_only", "step_nonorm", "head_only",
+                             "stage"])
     ap.add_argument("--stage", default="layer3",
                     choices=["layer1", "layer2", "layer3", "layer4"])
     ap.add_argument("--bf16-bn", action="store_true")
@@ -122,6 +125,49 @@ def main():
         jit_chunk = jax.jit(chunk, donate_argnums=(0,))
         ms = _timeit(jit_chunk, (jnp.float32(0), state), xs, args.scan,
                      sync_loss)
+
+    elif mode == "fwdbwd_head":
+        # The full training LOSS (normalize -> backbone train-mode ->
+        # margin head -> CE), grads over backbone + kernel, NO optimizer
+        # update and NO metrics: brackets the step's tail between head
+        # cost (vs fwdbwd) and optimizer/plumbing (vs step).
+        if args.bf16_bn:
+            from face_recognition_models_tpu.models import resnet
+            assert args.backbone == "resnet50"
+            backbone = resnet.resnet50().clone(bn_dtype=jnp.bfloat16)
+        xs_u8 = jnp.asarray(imgs_u8)
+        lab0 = jnp.asarray(labels[0])
+
+        def full_loss(params, im_u8):
+            im = normalize_images(im_u8)
+            feats, _ = backbone.apply(
+                {"params": params["backbone"],
+                 "batch_stats": state.batch_stats}, im,
+                train=True, mutable=["batch_stats"])
+            out = head.apply(head_cfg, params["kernel_w"],
+                             feats.astype(jnp.float32), lab0,
+                             state.head_state, rng=jax.random.PRNGKey(0))
+            return mean_cross_entropy(out.logits, lab0)
+
+        grad_fn = jax.grad(full_loss)
+
+        def chunk(carry, xs):
+            acc, params = carry
+            def body(p, im_u8):
+                g = grad_fn(p, im_u8)
+                return jax.tree.map(lambda x, gg: x - 1e-12 * gg, p, g), None
+            params, _ = jax.lax.scan(body, params, xs)
+            return (acc, params)
+
+        jit_chunk = jax.jit(chunk, donate_argnums=(0,))
+
+        def sync(carry):
+            _ = float(np.asarray(jax.tree.leaves(carry)[0]).reshape(-1)[-1])
+
+        ms = _timeit(jit_chunk,
+                     (jnp.float32(0), {"backbone": state.params["backbone"],
+                                       "kernel_w": state.params["kernel_w"]}),
+                     xs_u8, args.scan, sync)
 
     elif mode in ("fwd_eval", "fwd_train", "fwdbwd", "fwdbwd_nobn",
                   "fwdbwd_bf16bn"):
@@ -302,7 +348,7 @@ def main():
     print(json.dumps({"metric": "train_step_profile", "mode": mode,
                       "backbone": args.backbone, "head": args.head,
                       "batch": args.batch, "classes": args.classes,
-                      "ms": round(ms, 2)}))
+                      "bf16_bn": args.bf16_bn, "ms": round(ms, 2)}))
 
 
 if __name__ == "__main__":
