@@ -263,6 +263,7 @@ def test_arcface_training_trajectory_matches_reference(ref):
                                rtol=5e-2, atol=5e-3)
 
 
+@pytest.mark.slow
 def test_adaface_training_trajectory_matches_reference(ref):
     """AdaFace (stateful EMA head): the norm-EMA state evolves from live
     backbone features, so trajectory parity also checks the state feedback
@@ -289,6 +290,7 @@ def test_adaface_training_trajectory_matches_reference(ref):
         float(tnet.head.batch_std), rtol=5e-2)
 
 
+@pytest.mark.slow
 def test_curricularface_training_trajectory_matches_reference(ref):
     """CurricularFace (EMA difficulty t + data-dependent hard-negative
     rescaling): the mask `cos > cos(theta+m)` depends on live training
@@ -321,6 +323,7 @@ def test_curricularface_training_trajectory_matches_reference(ref):
         float(tnet.head.t), rtol=2e-2, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sphereface_training_trajectory_matches_reference(ref):
     """SphereFace (python-side iteration counter): the annealing
     lambda = max(5, 1000*(1+0.12*iter)^-1) decays per STEP (criterion.py:58-60),
@@ -359,6 +362,7 @@ def test_sphereface_training_trajectory_matches_reference(ref):
         == EPOCHS * STEPS_PER_EPOCH
 
 
+@pytest.mark.slow
 def test_vpl_arcface_training_trajectory_matches_reference(ref):
     """VPL-ArcFace (class-memory lifecycle): per-class feature-mean memory
     written each step, lifetimes decayed, expired classes dropping out of
@@ -402,6 +406,333 @@ def test_vpl_arcface_training_trajectory_matches_reference(ref):
                 tnet.head.mem.detach().numpy()) > 0.95
 
 
+@pytest.mark.slow
+def test_cosface_training_trajectory_matches_reference(ref):
+    """CosFace (additive cosine margin, criterion.py:137-197): the margin is
+    continuous in the cosines, but the 1e-4 clamp (:177) is a GRADIENT
+    discontinuity — once norms saturate (5 -> ~60 by step 4 even at lr=0.01)
+    borderline cosines sit on the clamp and fp noise flips their gradient
+    off/on. Measured chaos probe: perturbing the torch kernel alone by 1e-6
+    and rerunning torch-vs-torch gives rel loss divergence 2.9e-4 at step 2
+    and up to 2e-2 later — the same envelope as jax-vs-torch — so a tight
+    per-step bound is seed-fragile and the chaos-tolerant assertion is the
+    honest one. Steps 0-1 (identical weights + one full update cycle) still
+    carry the exact-math weight."""
+    lr = 0.01
+    torch.manual_seed(6)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(6)
+    head = ref.crit.CosFace(embedding_size=D, classnum=C, s=64.0, m=0.35)
+    head.kernel.data = torch.from_numpy(kernel.copy())
+    batches = make_batches(6, EPOCHS * STEPS_PER_EPOCH)
+
+    jstate, jtraj = run_jax_pipeline("cosface", tmodel, kernel, batches,
+                                     lr=lr)
+    tnet, ttraj = run_torch_reference(ref, head, tmodel, batches, lr=lr)
+
+    assert_trajectories_track(jtraj, ttraj)
+    # drift cosines inherit the chaos (measured 0.9987/0.999+): 0.99 as in
+    # the other chaos-tolerant heads
+    assert _cos(np.asarray(jstate.params["kernel_w"]),
+                tnet.head.kernel.detach().numpy()) > 0.99
+    assert _cos(np.asarray(jstate.params["backbone"]["conv1"]["kernel"]),
+                tnet.backbone.conv1.weight.detach().numpy()
+                .transpose(2, 3, 1, 0)) > 0.99
+
+
+@pytest.mark.slow
+def test_mv_softmax_training_trajectory_matches_reference(ref):
+    """MV-Softmax 'am' (criterion.py:327-451): the hard-example mask
+    `cos > target_cos - m` rescales EVERY non-target cosine above a
+    per-row threshold by mv_weight, so the backward is dominated by a
+    data-dependent mask that no other head exercises. The mask is
+    discontinuous in ~half the [N, C] entries at init (random cosines
+    straddle the threshold), hence the chaos-tolerant assertion; the first
+    two steps carry the exact-math weight."""
+    torch.manual_seed(7)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(7)
+    head = ref.crit.MV_Softmax(D, C, margin=0.35, mv_weight=1.12, s=32.0,
+                               margin_type="am")
+    head.weight.data = torch.from_numpy(kernel.T.copy())
+    batches = make_batches(7, EPOCHS * STEPS_PER_EPOCH)
+
+    jstate, jtraj = run_jax_pipeline("mv_softmax", tmodel, kernel, batches,
+                                     margin_type="am")
+    tnet, ttraj = run_torch_reference(ref, head, tmodel, batches)
+
+    assert_trajectories_track(jtraj, ttraj)
+    assert _cos(np.asarray(jstate.params["kernel_w"]),
+                tnet.head.weight.detach().numpy().T) > 0.999
+
+
+@pytest.mark.slow
+def test_elastic_arcface_training_trajectory_matches_reference(ref):
+    """ElasticArcFace at std=0 (criterion.py:1054-1154): torch RNG margins
+    cannot be replayed in JAX (distributional parity is tested in
+    test_reference_parity.py), but std=0 makes the sampled margin exactly m
+    on both sides, so the full elastic code path — acos -> theta+m clamp to
+    [0, pi] -> cos, gather/scatter on the target column — trains through the
+    real recipe. Distinct from arcface's cos_m/sin_m identity: this pins the
+    backward THROUGH acos/clamp, whose -1/sqrt(1-x^2) gradient amplifies
+    first-update fp noise near the 1e-7 clamp (:1104).
+
+    Step-1 tolerance is 5e-3, calibrated by a measured noise-response
+    probe: a step-0 gradient diff (grad_probe) shows jax-vs-torch conv
+    backward reassociation noise of ~1e-4 relative on the updated params
+    (identical for arcface, whose trajectory tracks tightly — the head
+    backward is exact); perturbing ALL torch params by that same 1e-4
+    scale and rerunning torch-vs-torch lands step 1 at 49.613251 vs the
+    jax run's 49.613449 (rel 4e-6) — the step-1 divergence is the
+    recipe's own noise response, not head math."""
+    lr = 0.01
+    torch.manual_seed(8)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(8)
+    head = ref.crit.ElasticArcFace(D, C, s=64.0, m=0.5, std=0.0, plus=False)
+    head.kernel.data = torch.from_numpy(kernel.copy())
+    batches = make_batches(8, EPOCHS * STEPS_PER_EPOCH)
+
+    jstate, jtraj = run_jax_pipeline("elastic_arcface", tmodel, kernel,
+                                     batches, std=0.0, plus=False, lr=lr)
+    tnet, ttraj = run_torch_reference(ref, head, tmodel, batches, lr=lr)
+
+    assert_trajectories_track(jtraj, ttraj, first_steps_rtol=5e-3)
+    # measured 0.9981 under the recipe's chaos — 0.99 as in vpl/sphereface
+    assert _cos(np.asarray(jstate.params["kernel_w"]),
+                tnet.head.kernel.detach().numpy()) > 0.99
+
+
+@pytest.mark.slow
+def test_elastic_cosface_training_trajectory_matches_reference(ref):
+    """ElasticCosFace at std=0 (criterion.py:951-1030): the additive margin
+    through the reference's gather/scatter-on-target path (distinct from
+    CosFace's one-hot subtraction — the backward routes the target gradient
+    through an index_put instead of a mask) with the tighter 1e-7 clamp
+    (:994 vs CosFace's 1e-4). Completes the 11-head trajectory matrix.
+    std=0 makes the sampled margin exactly m on both sides (torch RNG is
+    not replayable in JAX; distributional parity is tested separately).
+    lr=0.01 + chaos-tolerant assertion for the same measured
+    clamp-saturation reason as cosface."""
+    lr = 0.01
+    torch.manual_seed(10)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(10)
+    head = ref.crit.ElasticCosFace(D, C, s=64.0, m=0.35, std=0.0,
+                                   plus=False)
+    head.kernel.data = torch.from_numpy(kernel.copy())
+    batches = make_batches(10, EPOCHS * STEPS_PER_EPOCH)
+
+    jstate, jtraj = run_jax_pipeline("elastic_cosface", tmodel, kernel,
+                                     batches, std=0.0, plus=False, lr=lr)
+    tnet, ttraj = run_torch_reference(ref, head, tmodel, batches, lr=lr)
+
+    assert_trajectories_track(jtraj, ttraj, first_steps_rtol=5e-3)
+    assert _cos(np.asarray(jstate.params["kernel_w"]),
+                tnet.head.kernel.detach().numpy()) > 0.99
+
+
+@pytest.mark.slow
+def test_qaface_training_resync_parity_vs_reference(ref):
+    """QAFace (quality memory + magnitude EMA, criterion.py:1331-1506):
+    the injection mask exp(-z) is a LIVE function of the magnitude EMA
+    (muy/std buffers), and its gradient flows into the backbone through
+    both the target-injection blend and the EMA update itself — the only
+    head where a buffer update is inside the differentiated path. delta=3
+    forces memory activation AND expiry inside the 12 steps. minput falls
+    back to the clean features on both sides (the reference QAFaceNet's
+    own fallback, criterion.py:1545-1547, modulo its labels-slot bug
+    documented in heads/margins.py).
+
+    RE-SYNCHRONIZED per-step parity instead of a free-running trajectory:
+    early in training all features are near-identical, so the memory
+    cosines (criterion.py:1471-1476) pin at the 1e-7 clamp and the s=64
+    CE sits on a cliff — a measured probe perturbing torch params by the
+    2e-3 conv-backward-noise scale swings the torch-vs-torch step-1 loss
+    by 20% (and 65% later), so ANY envelope wide enough to pass free-
+    running is too wide to mean anything. Instead, before every one of
+    the 12 steps the full torch state (backbone params + BN running
+    stats + head kernel + mem/life/muy/std buffers + SGD momentum) is
+    ported into the jax TrainState, ONE production step runs on the same
+    batch, and the step's loss/acc/feat-norm AND every post-step state
+    update are asserted tightly against torch's — chaos cannot
+    accumulate, and every step is checked along the reference's own
+    trajectory (isolation measured: rel loss 1e-6 at the wildest step)."""
+    delta = 3
+    lr = 0.01
+    torch.manual_seed(9)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+    kernel = make_kernel(9)
+    inner = ref.crit.QAFace(D, C, s=64.0, m=0.5, easy_margin=False,
+                            delta=delta, tto=2.0, alpha=0.99)
+    inner.weight.data = torch.from_numpy(kernel.T.copy())
+
+    class _SelfMinput(torch.nn.Module):
+        """The trajectory harness feeds head(feats, labels); QAFace takes
+        (feats, minput, labels) — mirror the jax step's minput=feats
+        fallback.
+
+        Also detaches the muy/std EMA buffers BETWEEN steps: the reference
+        assigns them from live tensors (criterion.py:1445-1448), so its own
+        second backward crashes with 'backward through the graph a second
+        time' — the head is untrainable as written past step 1 (reference
+        bug; README 'Differences'). Within-step gradient through the EMA
+        still flows on both sides; the JAX state pytree is concrete across
+        steps, which is exactly what per-step detach reproduces."""
+
+        def __init__(self):
+            super().__init__()
+            self.inner = inner
+
+        def forward(self, feats, labels):
+            self.inner.muy = self.inner.muy.detach()
+            self.inner.std = self.inner.std.detach()
+            return self.inner(feats, feats, labels)
+
+    batches = make_batches(9, EPOCHS * STEPS_PER_EPOCH)
+
+    # ---- torch: the reference recipe, snapshotting state BEFORE each step
+    net_head = _SelfMinput()
+
+    class _Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone, self.head = tmodel, net_head
+
+        def forward(self, x, labels):
+            return self.head(self.backbone(x), labels)
+
+    net = _Net().train()
+    criterion = torch.nn.CrossEntropyLoss()
+    opt = torch.optim.SGD(net.parameters(), lr=lr, momentum=MOMENTUM,
+                          weight_decay=WD)
+    scheduler = ref.sched.CustomStepLR(opt, steps=LR_STEPS, ratio=LR_RATIO)
+
+    def snapshot():
+        sd = {k: v.detach().clone()
+              for k, v in net.backbone.state_dict().items()}
+        # momentum buffers keyed like the state_dict so the same porter maps
+        # them; zeros before the first update (torch SGD first-step buf=grad
+        # == mu*0+grad, matching fused_sgd's zeros init)
+        mom_sd = dict(sd)
+        for name, p in net.backbone.named_parameters():
+            buf = opt.state.get(p, {}).get("momentum_buffer")
+            mom_sd[name] = (buf.detach().clone() if buf is not None
+                            else torch.zeros_like(p))
+        kbuf = opt.state.get(inner.weight, {}).get("momentum_buffer")
+        return dict(
+            sd=sd, mom_sd=mom_sd,
+            kernel=inner.weight.detach().numpy().T.copy(),
+            kmom=(kbuf.detach().numpy().T.copy() if kbuf is not None
+                  else np.zeros((D, C), np.float32)),
+            mem=inner.mem.detach().numpy().copy(),
+            life=inner.life.detach().numpy().copy(),
+            muy=float(inner.muy), std=float(inner.std))
+
+    snaps, ttraj = [], []
+    it = iter(batches)
+    for _ in range(EPOCHS):
+        for _ in range(STEPS_PER_EPOCH):
+            images, labels = next(it)
+            snaps.append(snapshot())
+            x = torch.from_numpy(images.transpose(0, 3, 1, 2))
+            t = torch.from_numpy(labels.astype(np.int64))
+            (pre, post), norms, loss_g, _ = net(x, t)
+            loss = criterion(post, t)
+            acc1 = (pre.argmax(1) == t).float().mean().item() * 100.0
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+            ttraj.append(dict(loss=loss.item(), acc1=acc1,
+                              lr=opt.param_groups[0]["lr"],
+                              feat_norm=float(norms.detach().float().mean())))
+        scheduler.step()
+    snaps.append(snapshot())  # post-final state for the last step's asserts
+
+    # ---- jax: one production step from each ported snapshot
+    from face_recognition_models_tpu import config as cfg_lib
+    from face_recognition_models_tpu.heads.margins import QAFaceState
+    from face_recognition_models_tpu.train.optim import (FusedSGDState,
+                                                         get_optimizer)
+    from face_recognition_models_tpu.train.schedules import get_schedule
+    from face_recognition_models_tpu.train.state import create_train_state
+    from face_recognition_models_tpu.train.step import make_train_step
+    from face_recognition_models_tpu.utils.torch_port import (
+        port_torchvision_resnet)
+
+    cfg = cfg_lib.TrainConfig(
+        backbone="resnet18", head="qaface", num_classes=C, batch_size=N,
+        epochs=EPOCHS, compute_dtype="float32",
+        optimizer=cfg_lib.OptimizerConfig(name="sgd", learning_rate=lr,
+                                          momentum=MOMENTUM,
+                                          weight_decay=WD),
+        schedule=cfg_lib.ScheduleConfig(name="customstep", steps=LR_STEPS,
+                                        ratio=LR_RATIO),
+        data=cfg_lib.DataConfig(image_size=IMAGE))
+    head_cfg = cfg_lib.make_head_config("qaface", feature_dim=D,
+                                        num_classes=C, delta=delta)
+    schedule = get_schedule(cfg.schedule, lr, STEPS_PER_EPOCH, EPOCHS)
+    tx = get_optimizer("sgd", schedule, momentum=MOMENTUM, weight_decay=WD,
+                       nesterov=False)
+    backbone, head, base_state = create_train_state(cfg, head_cfg, tx)
+    template = {"params": base_state.params["backbone"],
+                "batch_stats": base_state.batch_stats}
+    step_fn = make_train_step(backbone, head, head_cfg, tx,
+                              lr_schedule=schedule, use_fused_head=False)
+
+    def to_state(k, snap):
+        ported, stats = port_torchvision_resnet(snap["sd"], template,
+                                                (2, 2, 2, 2), port_fc=True)
+        mom, _ = port_torchvision_resnet(snap["mom_sd"], template,
+                                         (2, 2, 2, 2), port_fc=True)
+        params = {"backbone": jax.tree.map(jnp.asarray, ported),
+                  "kernel_w": jnp.asarray(snap["kernel"])}
+        trace = {"backbone": jax.tree.map(jnp.asarray, mom),
+                 "kernel_w": jnp.asarray(snap["kmom"])}
+        hs = QAFaceState(mem=jnp.asarray(snap["mem"]),
+                         life=jnp.asarray(snap["life"]),
+                         muy=jnp.asarray(snap["muy"], jnp.float32),
+                         std=jnp.asarray(snap["std"], jnp.float32),
+                         training_flag=jnp.bool_(True))
+        return base_state.replace(
+            step=jnp.asarray(k, jnp.int32), params=params,
+            batch_stats=jax.tree.map(jnp.asarray, stats),
+            opt_state=FusedSGDState(count=jnp.asarray(k, jnp.int32),
+                                    trace=trace),
+            head_state=hs)
+
+    with jax.default_matmul_precision("float32"):
+        jit_step = jax.jit(step_fn)
+        for k, ((images, labels), t) in enumerate(zip(batches, ttraj)):
+            state_k = to_state(k, snaps[k])
+            new_state, m = jit_step(state_k, jnp.asarray(images),
+                                    jnp.asarray(labels))
+            # step metrics vs the reference's step along ITS trajectory
+            assert abs(float(m["loss"]) - t["loss"]) <= \
+                1e-3 * max(1.0, abs(t["loss"])), \
+                f"step {k}: loss {float(m['loss']):.6f} vs {t['loss']:.6f}"
+            assert float(m["lr"]) == pytest.approx(t["lr"], rel=1e-6), \
+                f"step {k}: LR timing"
+            assert abs(float(m["acc1"]) - t["acc1"]) <= 100.0 / N + 1e-6
+            assert abs(float(m["feat_norm"]) - t["feat_norm"]) <= \
+                1e-3 * max(1.0, t["feat_norm"]), f"step {k}: feat_norm"
+            # post-step updates vs the torch post-step snapshot
+            nxt, hs = snaps[k + 1], new_state.head_state
+            np.testing.assert_allclose(
+                np.asarray(new_state.params["kernel_w"]), nxt["kernel"],
+                atol=1e-4, err_msg=f"step {k}: kernel update")
+            np.testing.assert_array_equal(np.asarray(hs.life), nxt["life"],
+                                          err_msg=f"step {k}: life")
+            np.testing.assert_allclose(float(hs.muy), nxt["muy"], rtol=1e-3,
+                                       err_msg=f"step {k}: muy EMA")
+            np.testing.assert_allclose(float(hs.std), nxt["std"], rtol=1e-3,
+                                       err_msg=f"step {k}: std EMA")
+            np.testing.assert_allclose(np.asarray(hs.mem), nxt["mem"],
+                                       rtol=1e-3, atol=1e-5,
+                                       err_msg=f"step {k}: memory update")
+
+
+@pytest.mark.slow
 def test_magface_training_trajectory_matches_reference(ref):
     """MagFace with lambda_g > 0 (model_utils.py:177-180): the per-sample
     margin AND the magnitude regularizer both depend on the UNNORMALIZED
