@@ -71,6 +71,11 @@ def _add_train_parser(sub):
                         "softmax over the batch positives + RATIO*C "
                         "sampled negatives (insightface large-C recipe; "
                         "0 = dense; unsupported for vpl_arcface/qaface)")
+    p.add_argument("--model-ema", type=float, default=0.0, metavar="DECAY",
+                   help="exponential moving average of the weights "
+                        "(0 = off; typical 0.999-0.9999). The averaged "
+                        "backbone is saved as <model>_final_ema and used "
+                        "for --eval-after")
     p.add_argument("--eval-after", action="store_true",
                    help="run benchmark verification after training (the "
                         "reference README claims this but never does it)")
@@ -108,6 +113,7 @@ def cmd_train(args) -> int:
                                "jnp": False}[args.head_path]),
         scan_steps=args.scan_steps,
         partial_fc=args.partial_fc,
+        model_ema=args.model_ema,
         bn_dtype=args.bn_dtype,
         optimizer=cfg_lib.OptimizerConfig(learning_rate=args.learning_rate),
         mesh=cfg_lib.MeshConfig(data=args.mesh_data, model=args.mesh_model),
@@ -211,6 +217,14 @@ def cmd_train(args) -> int:
         # epoch/min_loss checkpoints.
         mgr.save_final({"params": result.state.params["backbone"],
                         "batch_stats": result.state.batch_stats})
+        eval_params = result.state.params["backbone"]
+        if result.state.ema_params is not None:
+            # the averaged weights are the production artifact; keep the
+            # raw-final default untouched so export stays which-agnostic
+            eval_params = result.state.ema_params["backbone"]
+            mgr.save_final({"params": eval_params,
+                            "batch_stats": result.state.batch_stats},
+                           filename=f"{model_name}_final_ema")
         logger.finish()
         print(f"Done in {time.time() - t0:.0f}s — min train loss "
               f"{result.min_train_loss:.6f}, "
@@ -229,8 +243,7 @@ def cmd_train(args) -> int:
                     from face_recognition_models_tpu.parallel import make_mesh
                     mesh = make_mesh(cfg_lib.MeshConfig(
                         data=jax.device_count(), model=1))
-                embed = make_embed_fn(result.backbone,
-                                      result.state.params["backbone"],
+                embed = make_embed_fn(result.backbone, eval_params,
                                       result.state.batch_stats, mesh=mesh)
                 for bench in args.benchmarks.split(","):
                     try:

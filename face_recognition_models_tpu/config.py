@@ -337,6 +337,12 @@ class TrainConfig:
     # Sampled-softmax logQ bias correction (see partial_fc.py); only
     # meaningful when partial_fc > 0.
     partial_fc_logq: bool = True
+    # Exponential moving average of the weights (beyond-reference
+    # production feature; the reference has none): ema <- d*ema + (1-d)*p
+    # after every optimizer step, kept in TrainState.ema_params and used
+    # for the final embedding artifact / post-train eval. 0.0 = off;
+    # typical decays 0.999-0.9999.
+    model_ema: float = 0.0
     optimizer: OptimizerConfig = OptimizerConfig()
     schedule: ScheduleConfig = ScheduleConfig()
     mesh: MeshConfig = MeshConfig()

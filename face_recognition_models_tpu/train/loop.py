@@ -107,6 +107,14 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
         state = state.replace(
             params={**state.params, "backbone": jax.tree.map(jnp.asarray, wp)},
             batch_stats=jax.tree.map(jnp.asarray, ws))
+    ema_decay = float(getattr(cfg, "model_ema", 0.0))
+    if ema_decay > 0.0:
+        # seed the average at the initial weights; lives in the state
+        # pytree so checkpoints/resume/shardings cover it automatically.
+        # Deep copy: aliasing the live params would put the same buffer
+        # twice into the donated step input.
+        state = state.replace(
+            ema_params=jax.tree.map(jnp.copy, state.params))
 
     # --- mesh / sharding ---------------------------------------------------
     if use_mesh is None:
@@ -181,6 +189,20 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             horizontal_flip=cfg.data.horizontal_flip,
             use_fused_head=cfg.use_pallas_head,
             mesh=mesh if use_mesh else None)
+
+    if ema_decay > 0.0:
+        # per-step EMA fused into the step's own dispatch (the lerp is one
+        # pass over the param tree — ~0.4 ms/step HBM on ResNet-50/fp32,
+        # amortized further under scan_steps)
+        base_step_fn = step_fn
+
+        def step_fn(st, *a):
+            st2, m = base_step_fn(st, *a)
+            new_ema = jax.tree.map(
+                lambda e, p: (e * ema_decay
+                              + p.astype(e.dtype) * (1.0 - ema_decay)),
+                st2.ema_params, st2.params)
+            return st2.replace(ema_params=new_ema), m
 
     scan_k = max(1, int(getattr(cfg, "scan_steps", 1)))
 

@@ -29,6 +29,13 @@ class TrainState(struct.PyTreeNode):
     head_state: Any      # per-head state pytree (may be None)
     opt_state: Any
     rng: jnp.ndarray
+    # Exponential moving average of `params` (None when cfg.model_ema == 0).
+    # Living inside the state pytree means checkpoints, preemption saves,
+    # resume, and mesh shardings (parallel/sharding.py matches the same
+    # kernel_w/backbone paths) all cover it with no extra plumbing. This is
+    # a beyond-reference production feature — the reference has no weight
+    # averaging — so it defaults OFF.
+    ema_params: Any = None
 
 
 def create_train_state(cfg: TrainConfig, head_cfg, tx: optax.GradientTransformation,

@@ -68,6 +68,7 @@ def test_memory_training_toggle():
         api.set_memory_training(arc_state, False)
 
 
+@pytest.mark.slow
 def test_vpl_memory_frozen_when_toggled_off():
     model = _tiny(api.VPLArcFaceNet)
     rng = jax.random.PRNGKey(0)

@@ -1,0 +1,134 @@
+"""Model-EMA (cfg.model_ema): closed-form correctness, limit behaviors,
+sharding spec, and checkpoint/resume round-trip.
+
+Beyond-reference production feature (the reference has no weight
+averaging): ema <- d*ema + (1-d)*params after every optimizer step, kept
+in TrainState.ema_params (train/state.py) so checkpoints and mesh
+shardings cover it with no extra plumbing (train/loop.py wraps the step).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.checkpoint import CheckpointManager
+from face_recognition_models_tpu.data.pipeline import ArrayLoader
+from face_recognition_models_tpu.data.synthetic import synthetic_identities
+from face_recognition_models_tpu.train.loop import fit
+
+C, PER, IMG = 4, 4, 16
+BS = C * PER  # full-batch: exactly ONE step per epoch (per-step capture)
+
+
+def _cfg(epochs, **kw):
+    return cfg_lib.TrainConfig(
+        backbone="resnet18", head="cosface", num_classes=C, batch_size=BS,
+        epochs=epochs, seed=0,
+        data=cfg_lib.DataConfig(image_size=IMG),
+        optimizer=cfg_lib.OptimizerConfig(learning_rate=0.01),
+        **kw)
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return synthetic_identities(C, PER, image_size=IMG, seed=0, noise=10.0)
+
+
+def _loader(dataset):
+    images, labels = dataset
+    return ArrayLoader(images, labels, batch_size=BS, seed=0)
+
+
+@pytest.mark.slow
+def test_ema_matches_closed_form(dataset):
+    """One step per epoch -> the per-epoch hook sees every per-step params;
+    the EMA run (identical seed => identical training trajectory, EMA does
+    not feed back into training) must equal the numpy recurrence."""
+    decay = 0.9
+    epochs = 5
+
+    captured = []
+
+    def hook(epoch, state, train_loss):
+        captured.append(jax.device_get(state.params))
+
+    plain = fit(_cfg(epochs), _loader(dataset), use_mesh=False, hooks=hook)
+    assert plain.state.ema_params is None  # off by default
+
+    ema_run = fit(_cfg(epochs, model_ema=decay), _loader(dataset),
+                  use_mesh=False)
+
+    # the recurrence is seeded at the INITIAL weights: rebuild them with
+    # the same cfg/seed, then fold the captured per-step params in numpy
+    from face_recognition_models_tpu.train.optim import get_optimizer
+    from face_recognition_models_tpu.train.state import create_train_state
+    cfg0 = _cfg(epochs, model_ema=decay)
+    head_cfg = cfg_lib.make_head_config(cfg0.head, num_classes=C)
+    tx = get_optimizer("sgd", 0.01)
+    _, _, state0 = create_train_state(cfg0, head_cfg, tx)
+    expect = jax.device_get(state0.params)
+    for p in captured:
+        expect = jax.tree.map(lambda e, q: e * decay + q * (1 - decay),
+                              expect, p)
+    got = jax.device_get(ema_run.state.ema_params)
+    jax.tree.map(lambda g, e: np.testing.assert_allclose(
+        g, e, rtol=2e-5, atol=1e-6), got, expect)
+
+
+@pytest.mark.slow
+def test_ema_decay_limits(dataset):
+    """d -> 0: the average IS the latest params; d = 1: it never leaves
+    the init."""
+    r_fast = fit(_cfg(2, model_ema=1e-12), _loader(dataset), use_mesh=False)
+    for e, p in zip(jax.tree.leaves(r_fast.state.ema_params),
+                    jax.tree.leaves(r_fast.state.params)):
+        np.testing.assert_allclose(np.asarray(e), np.asarray(p), rtol=1e-6)
+
+    r_frozen = fit(_cfg(2, model_ema=1.0), _loader(dataset), use_mesh=False)
+    # params moved away from init, but the d=1 average did not move with
+    # them: the two must differ materially
+    diffs = [float(np.max(np.abs(np.asarray(e) - np.asarray(p))))
+             for e, p in zip(jax.tree.leaves(r_frozen.state.ema_params),
+                             jax.tree.leaves(r_frozen.state.params))]
+    assert max(diffs) > 1e-4
+
+
+def test_ema_sharding_spec():
+    """EMA leaves shard exactly like their live counterparts (the
+    path-based rules in parallel/sharding.py match ema_params subpaths)."""
+    from face_recognition_models_tpu.parallel import make_mesh
+    from face_recognition_models_tpu.parallel.sharding import (
+        train_state_shardings)
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(cfg_lib.MeshConfig(data=4, model=2))
+    num_classes = 16
+    fake = {"params": {"kernel_w": jnp.zeros((8, num_classes))},
+            "ema_params": {"kernel_w": jnp.zeros((8, num_classes))}}
+    sh = train_state_shardings(mesh, fake, num_classes)
+    assert sh["ema_params"]["kernel_w"].spec == P(None, "model")
+    assert sh["params"]["kernel_w"].spec == P(None, "model")
+
+
+@pytest.mark.slow
+def test_ema_checkpoint_resume(tmp_path, dataset):
+    """ema_params rides the state pytree through save -> resume and keeps
+    updating after the resume."""
+    loader = _loader(dataset)
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), "m")
+    r1 = fit(_cfg(2, model_ema=0.5), loader, checkpoint_manager=mgr,
+             use_mesh=False)
+    ema_after_2 = jax.device_get(r1.state.ema_params)
+
+    r2 = fit(_cfg(1, model_ema=0.5, continue_train="latest"), loader,
+             checkpoint_manager=mgr, use_mesh=False)
+    ema_after_3 = jax.device_get(r2.state.ema_params)
+    # restored (not re-seeded): epoch-3 EMA must differ from the epoch-2
+    # save AND from a fresh-init average of the same step count
+    d2 = [float(np.max(np.abs(a - b))) for a, b in
+          zip(jax.tree.leaves(ema_after_2), jax.tree.leaves(ema_after_3))]
+    assert max(d2) > 0.0
+    assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(ema_after_3))
+    assert int(jax.tree.leaves(r2.state.step)[0]) == 3

@@ -137,6 +137,7 @@ def test_unsampled_columns_untouched():
     pytest.param("magface", marks=pytest.mark.slow),
     pytest.param("elastic_arcface", marks=pytest.mark.slow),
 ])
+@pytest.mark.slow
 def test_partial_fc_loss_decreases(head_name):
     C, batch, C_s = 512, 16, 64
     rs = np.random.RandomState(2)

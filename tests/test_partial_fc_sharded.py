@@ -136,6 +136,7 @@ def test_sharded_kernel_and_momentum_shardings():
     "arcface",
     pytest.param("adaface", marks=pytest.mark.slow),
 ])
+@pytest.mark.slow
 def test_sharded_partial_fc_loss_decreases(head_name):
     C, batch, C_s_l = 256, 16, 32     # c_local=64, 16 negs/shard
     mesh = make_mesh(cfg_lib.MeshConfig(data=2, model=4))

@@ -171,6 +171,7 @@ def test_load_pretrained_backbone_file_roundtrip(tmp_path):
         load_pretrained_backbone(str(path), "vgg16", variables)
 
 
+@pytest.mark.slow
 def test_load_pretrained_backbone_dispatches_mobilenet(tmp_path):
     """The file-loading entry point routes mobilenet_v2 to its porter."""
     from face_recognition_models_tpu.models import get_backbone

@@ -36,6 +36,7 @@ def test_s2d_stem_matches_conv7(hw):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_model_same_params_same_output():
     """Whole ResNet: both stems consume the identical param/stats tree."""
     kwargs = dict(stage_sizes=(1, 1, 1, 1), block=BasicBlock,

@@ -101,6 +101,7 @@ def test_embed_directory_order_and_padding(tmp_path, tiny_model):
     np.testing.assert_allclose(emb[i], ref[0], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bn_folding_exact():
     """Folded ResNet (fp32) must reproduce the live eval model exactly:
     BN at inference is an affine, folding is mathematically exact."""

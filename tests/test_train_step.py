@@ -169,6 +169,7 @@ def test_fused_sgd_matches_chained_optax():
                                        rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_train_step_on_8_device_mesh():
     """pjit DP over 'data' + class-sharded kernel over 'model'."""
     assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
@@ -257,6 +258,7 @@ def test_dropout_backbone_train_step():
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
 
 
+@pytest.mark.slow
 def test_bf16_bn_matches_fp32_bn():
     """cfg.bn_dtype='bfloat16' lowers only the BN normalize/affine compute
     dtype: batch statistics and params stay fp32 (flax reduces stats in
