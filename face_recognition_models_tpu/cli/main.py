@@ -71,6 +71,10 @@ def _add_train_parser(sub):
                         "softmax over the batch positives + RATIO*C "
                         "sampled negatives (insightface large-C recipe; "
                         "0 = dense; unsupported for vpl_arcface/qaface)")
+    p.add_argument("--grad-accum", type=int, default=1, metavar="K",
+                   help="average gradients over K micro-batches per "
+                        "optimizer step (effective batch K*batch_size at "
+                        "batch_size memory; 1 = off)")
     p.add_argument("--model-ema", type=float, default=0.0, metavar="DECAY",
                    help="exponential moving average of the weights "
                         "(0 = off; typical 0.999-0.9999). The averaged "
@@ -113,6 +117,7 @@ def cmd_train(args) -> int:
                                "jnp": False}[args.head_path]),
         scan_steps=args.scan_steps,
         partial_fc=args.partial_fc,
+        grad_accum=args.grad_accum,
         model_ema=args.model_ema,
         bn_dtype=args.bn_dtype,
         optimizer=cfg_lib.OptimizerConfig(learning_rate=args.learning_rate),

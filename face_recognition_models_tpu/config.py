@@ -343,6 +343,14 @@ class TrainConfig:
     # for the final embedding artifact / post-train eval. 0.0 = off;
     # typical decays 0.999-0.9999.
     model_ema: float = 0.0
+    # Gradient accumulation (beyond-reference): average gradients over K
+    # micro-batches and apply the optimizer once — effective batch
+    # K*batch_size at batch_size memory (optax.MultiSteps; the LR
+    # schedule still sees micro-step counts, so epoch-boundary drops are
+    # unchanged). BatchNorm statistics and head state (EMA buffers,
+    # memories) update per micro-batch. 1 = off. Incompatible with
+    # partial_fc (its manual sampled-column update applies immediately).
+    grad_accum: int = 1
     optimizer: OptimizerConfig = OptimizerConfig()
     schedule: ScheduleConfig = ScheduleConfig()
     mesh: MeshConfig = MeshConfig()

@@ -97,10 +97,27 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
     schedule = get_schedule(cfg.schedule, cfg.optimizer.learning_rate,
                             steps_per_epoch, cfg.epochs)
     lr_for_tx = schedule if callable(schedule) else cfg.optimizer.learning_rate
-    tx = get_optimizer(cfg.optimizer.name, lr_for_tx,
+    grad_accum = max(1, int(getattr(cfg, "grad_accum", 1)))
+    if grad_accum > 1 and float(getattr(cfg, "partial_fc", 0.0)) > 0.0:
+        raise ValueError(
+            "grad_accum requires --partial-fc 0: Partial-FC's manual "
+            "sampled-column update applies immediately and cannot "
+            "accumulate")
+    if grad_accum > 1 and callable(lr_for_tx):
+        # the inner optimizer steps once per K micro-steps; keep the
+        # schedule in MICRO-step domain so epoch-boundary LR drops land
+        # where the loader's steps_per_epoch says they do
+        inner_lr, k = lr_for_tx, grad_accum
+        lr_inner = lambda c: inner_lr(c * k)
+    else:
+        lr_inner = lr_for_tx
+    tx = get_optimizer(cfg.optimizer.name, lr_inner,
                        momentum=cfg.optimizer.momentum,
                        weight_decay=cfg.optimizer.weight_decay,
                        nesterov=cfg.optimizer.nesterov)
+    if grad_accum > 1:
+        import optax
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
     backbone, head, state = create_train_state(cfg, head_cfg, tx)
     if warm_start is not None:
         wp, ws = warm_start
