@@ -7,6 +7,7 @@ under the driver).
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -18,7 +19,9 @@ def main():
     from face_recognition_models_tpu.train.step import make_eval_step
 
     batch = 512
-    model = get_backbone("resnet50")
+    # optional positional backbone override (driver runs the default)
+    name = sys.argv[1] if len(sys.argv) > 1 else "resnet50"
+    model = get_backbone(name)
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, 112, 112, 3), jnp.float32),
                            train=False)
@@ -52,7 +55,7 @@ def main():
     n_chips = max(1, jax.device_count())
     ips_per_chip = ips / n_chips
     print(json.dumps({
-        "metric": "resnet50_embedding_images_per_sec_per_chip",
+        "metric": f"{name}_embedding_images_per_sec_per_chip",
         "value": round(ips_per_chip, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips_per_chip / 5000.0, 3),

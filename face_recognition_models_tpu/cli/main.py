@@ -511,7 +511,8 @@ def cmd_embed(args) -> int:
 
 def cmd_list(args) -> int:
     print("heads:     ", ", ".join(available_heads()))
-    print("backbones:  resnet18, resnet50, efficientnet_b0, mobilenet_v2")
+    print("backbones:  resnet18, resnet50, efficientnet_b0, mobilenet_v2, "
+          "inception_v3, iresnet18, iresnet50, iresnet100")
     return 0
 
 

@@ -15,6 +15,11 @@ import jax.numpy as jnp
 
 from face_recognition_models_tpu.models.efficientnet import efficientnet_b0
 from face_recognition_models_tpu.models.inception import inception_v3
+from face_recognition_models_tpu.models.iresnet import (
+    iresnet18,
+    iresnet50,
+    iresnet100,
+)
 from face_recognition_models_tpu.models.mobilenet import mobilenet_v2
 from face_recognition_models_tpu.models.resnet import resnet18, resnet50
 
@@ -26,6 +31,12 @@ BACKBONES = {
     # FaceNet's default trunk (reference FaceNet/main.py:15-24); not part
     # of the reference's margin-head backbone set but available everywhere.
     "inception_v3": inception_v3,
+    # Beyond-reference: the insightface/ArcFace production trunk family
+    # (models/iresnet.py); torch checkpoints load via
+    # utils/torch_port.port_iresnet.
+    "iresnet18": iresnet18,
+    "iresnet50": iresnet50,
+    "iresnet100": iresnet100,
 }
 
 

@@ -212,7 +212,10 @@ def port_torchvision_efficientnet_b0(state_dict: Dict, variables: Dict
 
 
 _RESNET_STAGES = {"resnet18": (2, 2, 2, 2), "resnet50": (3, 4, 6, 3)}
-_PORTERS = ("resnet18", "resnet50", "efficientnet_b0", "mobilenet_v2")
+_IRESNET_STAGES = {"iresnet18": (2, 2, 2, 2), "iresnet50": (3, 4, 14, 3),
+                   "iresnet100": (3, 13, 30, 5)}
+_PORTERS = ("resnet18", "resnet50", "efficientnet_b0", "mobilenet_v2",
+            "iresnet18", "iresnet50", "iresnet100")
 
 
 def load_pretrained_backbone(path: str, backbone_name: str, variables: Dict
@@ -241,6 +244,8 @@ def load_pretrained_backbone(path: str, backbone_name: str, variables: Dict
             sd = sd[wrapper]
     if name == "efficientnet_b0":
         return port_torchvision_efficientnet_b0(sd, variables)
+    if name in _IRESNET_STAGES:
+        return port_iresnet(sd, variables, _IRESNET_STAGES[name])
     if name == "mobilenet_v2":
         return port_torchvision_mobilenet_v2(sd, variables)
     return port_torchvision_resnet(sd, variables, _RESNET_STAGES[name],
@@ -255,3 +260,72 @@ def _check_congruent(ref, got, what):
     if ref_shapes != got_shapes:
         raise ValueError(f"ported {what} tree does not match the model: "
                          f"expected {ref_shapes}, got {got_shapes}")
+
+
+def port_iresnet(state_dict: Dict, variables: Dict,
+                 stage_sizes: Tuple[int, ...]) -> Tuple[Dict, Dict]:
+    """Map an insightface iresnet state_dict (arcface_torch layout:
+    conv1/bn1/prelu, layerL.B.{bn1,conv1,bn2,prelu,conv2,bn3,downsample},
+    bn2, fc, features) onto models/iresnet.py variables.
+
+    The fc flatten order differs (torch flattens NCHW -> C*H*W, flax
+    flattens NHWC -> H*W*C): the fc kernel is permuted accordingly. The
+    `features` BatchNorm1d scale is frozen at 1 in insightface and our
+    module has use_scale=False — the torch weight is checked ~1 and
+    dropped.
+    """
+    import jax
+
+    params = jax.tree.map(np.asarray, jax.device_get(variables["params"]))
+    stats = jax.tree.map(np.asarray, jax.device_get(variables["batch_stats"]))
+
+    params["conv1"] = {"kernel": _conv(state_dict, "conv1.weight")}
+    _set_bn(params, stats, "bn1", _bn(state_dict, "bn1"))
+    params["prelu"] = {"alpha": _np(state_dict["prelu.weight"])}
+
+    for stage, blocks in enumerate(stage_sizes, start=1):
+        for b in range(blocks):
+            src = f"layer{stage}.{b}"
+            dst = f"layer{stage}_{b}"
+            p, s = params[dst], stats[dst]
+            _set_bn(p, s, "bn1", _bn(state_dict, f"{src}.bn1"))
+            p["conv1"] = {"kernel": _conv(state_dict, f"{src}.conv1.weight")}
+            _set_bn(p, s, "bn2", _bn(state_dict, f"{src}.bn2"))
+            p["prelu"] = {"alpha": _np(state_dict[f"{src}.prelu.weight"])}
+            p["conv2"] = {"kernel": _conv(state_dict, f"{src}.conv2.weight")}
+            _set_bn(p, s, "bn3", _bn(state_dict, f"{src}.bn3"))
+            if f"{src}.downsample.0.weight" in state_dict:
+                p["downsample_conv"] = {
+                    "kernel": _conv(state_dict, f"{src}.downsample.0.weight")}
+                _set_bn(p, s, "downsample_bn",
+                        _bn(state_dict, f"{src}.downsample.1"))
+
+    _set_bn(params, stats, "bn2", _bn(state_dict, "bn2"))
+
+    # fc: torch [D, C*H*W] -> flax [H*W*C, D]
+    w = _np(state_dict["fc.weight"])
+    d_out, in_dim = w.shape
+    if in_dim == params["fc"]["kernel"].shape[0] \
+            and d_out == params["fc"]["kernel"].shape[1]:
+        c = stage_sizes and 64 * 2 ** (len(stage_sizes) - 1)
+        hw = in_dim // c
+        h = int(round(hw ** 0.5))
+        params["fc"] = {
+            "kernel": w.reshape(d_out, c, h, h).transpose(2, 3, 1, 0)
+            .reshape(in_dim, d_out),
+            "bias": _np(state_dict["fc.bias"]),
+        }
+
+    fw = _np(state_dict["features.weight"])
+    if not np.allclose(fw, 1.0, atol=1e-3):
+        raise ValueError(
+            "features BatchNorm1d scale is not frozen at 1 "
+            f"(max dev {np.max(np.abs(fw - 1.0)):.3e}); models/iresnet.py "
+            "uses use_scale=False and cannot represent it")
+    params["features"] = {"bias": _np(state_dict["features.bias"])}
+    stats["features"] = {"mean": _np(state_dict["features.running_mean"]),
+                         "var": _np(state_dict["features.running_var"])}
+
+    _check_congruent(variables["params"], params, "params")
+    _check_congruent(variables["batch_stats"], stats, "batch_stats")
+    return params, stats
