@@ -58,9 +58,11 @@ def verify(result, held_x, held_y, classes, eval_per_class, pairs_per_kind,
         kfold_verification,
     )
 
-    embed = make_embed_fn(result.backbone,
-                          result.state.params["backbone"],
-                          result.state.batch_stats)
+    # with --model-ema the averaged weights are the evaluation artifact
+    bb = (result.state.ema_params["backbone"]
+          if result.state.ema_params is not None
+          else result.state.params["backbone"])
+    embed = make_embed_fn(result.backbone, bb, result.state.batch_stats)
     emb = embed_unique_images(embed, held_x, batch_size=batch)
 
     rs = np.random.RandomState(seed + 1)
@@ -93,6 +95,7 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
         batch_size=args.batch, epochs=epochs,
         print_freq=args.print_freq, bn_dtype=args.bn_dtype,
         scan_steps=args.scan_steps, partial_fc=args.partial_fc,
+        model_ema=args.model_ema,
         optimizer=cfg_lib.OptimizerConfig(learning_rate=lr),
         data=cfg_lib.DataConfig(image_size=args.image_size))
     loader = ArrayLoader(train_x, train_y, batch_size=args.batch, seed=seed)
@@ -107,7 +110,7 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
         "head": args.head, "backbone": args.backbone,
         "classes": classes, "batch": args.batch, "epochs": epochs,
         "lr": lr, "partial_fc": args.partial_fc,
-        "bn_dtype": args.bn_dtype,
+        "bn_dtype": args.bn_dtype, "model_ema": args.model_ema,
         "warm_started": warm_start is not None,
         "mean_accuracy": round(res.mean_accuracy, 3),
         "std_accuracy": round(res.std_accuracy, 3),
@@ -133,6 +136,7 @@ def main():
     ap.add_argument("--bn-dtype", choices=["float32", "bfloat16"],
                     default="float32")
     ap.add_argument("--partial-fc", type=float, default=0.0)
+    ap.add_argument("--model-ema", type=float, default=0.0)
     ap.add_argument("--pairs-per-kind", type=int, default=1000)
     ap.add_argument("--print-freq", type=int, default=100)
     ap.add_argument("--platform", default=None)
