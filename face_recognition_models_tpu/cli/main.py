@@ -277,7 +277,7 @@ def _add_eval_parser(sub):
                    default=cfg_lib.CASIA_NUM_CLASSES)
     p.add_argument("--output-dir", default="evaluation_results")
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
-    p.add_argument("--which", choices=["final", "min_loss"],
+    p.add_argument("--which", choices=["final", "min_loss", "final_ema"],
                    default="final",
                    help="which checkpoint to evaluate (the reference "
                         "evaluates min_loss)")

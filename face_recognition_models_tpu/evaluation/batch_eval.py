@@ -167,6 +167,10 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
                 bstats = full["state"]["batch_stats"]
                 restored = {"params": backbone_params,
                             "batch_stats": bstats}
+            elif which == "final_ema":
+                # the model-EMA artifact (saved by `face train --model-ema`)
+                restored = mgr.restore_final(abstract,
+                                             filename=f"{name}_final_ema")
             else:
                 restored = mgr.restore_final(abstract)
         except Exception as e:  # missing checkpoint: warn & skip (ref :44-46)

@@ -132,3 +132,31 @@ def test_ema_checkpoint_resume(tmp_path, dataset):
     assert max(d2) > 0.0
     assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(ema_after_3))
     assert int(jax.tree.leaves(r2.state.step)[0]) == 3
+
+
+def test_batch_eval_loads_final_ema_artifact(tmp_path, capsys):
+    """`face eval --which final_ema` restores the <model>_final_ema
+    artifact saved by `face train --model-ema` (benchmark data absent ->
+    benches skip, but the checkpoint restore itself must succeed)."""
+    import jax
+    from face_recognition_models_tpu.evaluation.batch_eval import (
+        run_batch_evaluation)
+    from face_recognition_models_tpu.models import get_backbone
+
+    name = "arcface"
+    model = get_backbone("resnet18", dtype=jnp.float32)
+    v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                   train=False)
+    mgr = CheckpointManager(str(tmp_path / "ckpt" / name), name)
+    payload = {"params": v["params"],
+               "batch_stats": v.get("batch_stats", {})}
+    mgr.save_final(payload, filename=f"{name}_final_ema")
+
+    rc = run_batch_evaluation(
+        checkpoint_dir=str(tmp_path / "ckpt"), head=name,
+        backbone="resnet18", eval_data_path=str(tmp_path / "no_data"),
+        benchmarks=["lfw"], batch_size=8, num_classes=4,
+        output_dir=str(tmp_path / "out"), image_size=16, which="final_ema")
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "could not load checkpoint" not in out  # the ema restore worked
