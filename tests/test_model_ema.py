@@ -160,3 +160,45 @@ def test_batch_eval_loads_final_ema_artifact(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "could not load checkpoint" not in out  # the ema restore worked
+
+
+@pytest.mark.slow
+def test_ema_and_grad_accum_on_mesh():
+    """Both beyond-reference features through the sharded fit path: EMA
+    subtree + MultiSteps acc_grads shard via the same path-based rules
+    (parallel/sharding.py) with zero special-casing — one epoch on the
+    8-virtual-device (4 data x 2 model) mesh must run and stay finite."""
+    from face_recognition_models_tpu.parallel import make_mesh
+
+    images, labels = synthetic_identities(C, PER, image_size=IMG, seed=0,
+                                          noise=10.0)
+    loader = ArrayLoader(images, labels, batch_size=BS, seed=0)
+    cfg = _cfg(1, model_ema=0.9, grad_accum=2,
+               mesh=cfg_lib.MeshConfig(data=4, model=2))
+    mesh = make_mesh(cfg.mesh)
+    r = fit(cfg, loader, use_mesh=True, mesh=mesh)
+    assert np.isfinite(r.min_train_loss)
+    leaves = jax.tree.leaves(r.state.ema_params)
+    assert leaves and all(np.all(np.isfinite(np.asarray(x)))
+                          for x in leaves)
+
+
+@pytest.mark.slow
+def test_ema_with_partial_fc(tmp_path):
+    """EMA wraps the Partial-FC step too (the manual sampled-column kernel
+    update still lands in state.params, which is all the EMA reads)."""
+    c, per, bs = 32, 8, 16
+    images, labels = synthetic_identities(c, per, image_size=IMG, seed=0,
+                                          noise=10.0)
+    loader = ArrayLoader(images, labels, batch_size=bs, seed=0)
+    cfg = cfg_lib.TrainConfig(
+        backbone="resnet18", head="arcface", num_classes=c, batch_size=bs,
+        epochs=1, seed=0, model_ema=0.5, partial_fc=0.9,
+        data=cfg_lib.DataConfig(image_size=IMG),
+        optimizer=cfg_lib.OptimizerConfig(learning_rate=0.01))
+    r = fit(cfg, loader, use_mesh=False)
+    # kernel EMA must have moved off the init copy (columns updated)
+    dk = np.asarray(r.state.ema_params["kernel_w"]) - \
+        np.asarray(r.state.params["kernel_w"])
+    assert np.isfinite(dk).all()
+    assert np.abs(dk).max() > 0
