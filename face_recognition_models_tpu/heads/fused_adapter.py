@@ -151,7 +151,11 @@ def _row_params(cfg, tcos_raw, norms, state, rng) -> _RowParams:
 
     if name == "curricularface":
         tcos = jnp.clip(tcos_raw, -1.0, 1.0)
-        sin_t = jnp.sqrt(1.0 - tcos ** 2)
+        # forward-exact NaN guard at |tcos| = 1 — same fix as the jnp path
+        # (margins.py _curricularface_apply; reference :555 has no eps and
+        # NaNs when a target cosine saturates)
+        u = jnp.maximum(1.0 - tcos ** 2, 0.0)
+        sin_t = jnp.where(u > 0, jnp.sqrt(jnp.where(u > 0, u, 1.0)), 0.0)
         ctm = tcos * math.cos(cfg.m) - sin_t * math.sin(cfg.m)
         threshold = math.cos(math.pi - cfg.m)
         mm = math.sin(math.pi - cfg.m) * cfg.m

@@ -284,7 +284,13 @@ def _curricularface_apply(cfg: cfg_lib.CurricularFaceConfig, kernel, feats,
     threshold = math.cos(math.pi - cfg.m)
     mm = math.sin(math.pi - cfg.m) * cfg.m
 
-    sin_t = jnp.sqrt(1.0 - t_cos ** 2)                  # no eps, :555
+    # Reference has NO eps here (:555) — and NaNs: d sqrt(u)/du = inf at
+    # u=0, so the step a target cosine saturates to exactly +-1 (observed
+    # on the synthetic convergence run once train accuracy hits 100%)
+    # poisons every gradient. Forward-exact fix: same sqrt values, zero
+    # subgradient at the saturation point (README "Differences").
+    u = jnp.maximum(1.0 - t_cos ** 2, 0.0)
+    sin_t = jnp.where(u > 0, jnp.sqrt(jnp.where(u > 0, u, 1.0)), 0.0)
     ctm = t_cos * cos_m - sin_t * sin_m
     mask = cos > ctm
     final_target = jnp.where(t_cos > threshold, ctm, t_cos - mm)
@@ -573,7 +579,14 @@ def _qaface_apply(cfg: cfg_lib.QAFaceConfig, kernel, feats, labels,
 
     # --- magnitude EMA over the degraded view (criterion.py:1438-1448) ---
     mag = feature_norms(minput)                     # [N,1]
-    mag_mean, mag_std = jnp.mean(mag), jnp.std(mag, ddof=1)
+    mag_mean = jnp.mean(mag)
+    # torch .std() semantics (ddof=1), but with a finite subgradient at
+    # zero variance: the reference's mag_minput.std() (:1440) NaNs its
+    # backward when every magnitude in the batch is equal (sqrt'(0)=inf),
+    # and the EMA is inside the differentiated path here. Forward-exact.
+    var = jnp.var(mag, ddof=1)
+    mag_std = jnp.where(var > 0, jnp.sqrt(jnp.where(var > 0, var, 1.0)),
+                        0.0)
     first = state.muy == 0.0
     new_muy = jnp.where(first, mag_mean,
                         cfg.alpha * state.muy + (1 - cfg.alpha) * mag_mean)

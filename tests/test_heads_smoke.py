@@ -145,3 +145,41 @@ def test_ignore_label_rows_unmodified():
         pre = np.asarray(out.pre_logits)[:4]
         post = np.asarray(out.logits)[:4]
         np.testing.assert_allclose(post, pre, rtol=1e-6)
+
+
+@pytest.mark.parametrize("name", available_heads())
+def test_grads_finite_at_saturated_target_cosine(name):
+    """Late-training regression: once a model nails its training set, the
+    target cosines saturate to EXACTLY +-1.0 in fp32 — the step where the
+    reference's CurricularFace NaNs (criterion.py:555: sqrt(1 - t^2) has
+    an infinite derivative at t=1; observed live on the synthetic
+    convergence run at 100% train accuracy). Every head must keep finite
+    gradients when each sample's feature IS its class column."""
+    cfg = cfg_lib.make_head_config(name, feature_dim=D, num_classes=C)
+    head = get_head(name)
+    rng = jax.random.PRNGKey(0)
+    kernel = np.array(head.init_kernel(rng, cfg))
+    # exact basis alignment: kernel column i = e_i (unit), feats = 5*e_label
+    # -> l2_normalize is exact and the target dot product is exactly 1.0
+    kernel[:, :N] = 0.0
+    kernel[np.arange(N) % D, np.arange(N)] = 1.0
+    kernel = jnp.asarray(kernel)
+    labels = jnp.arange(N, dtype=jnp.int32)
+    feats = np.zeros((N, D), np.float32)
+    feats[np.arange(N), np.arange(N) % D] = 5.0
+    feats = jnp.asarray(feats)
+    state = head.init_state(cfg)
+
+    def loss_fn(kernel, feats):
+        out = head.apply(cfg, kernel, feats, labels, state, rng=rng)
+        ce = -jnp.mean(jax.nn.log_softmax(out.logits)[jnp.arange(N), labels])
+        return ce + 0.1 * out.loss_g
+
+    # the target cosine really is saturated
+    out = head.apply(cfg, kernel, feats, labels, state, rng=rng)
+    tcos = np.asarray(out.pre_logits)[np.arange(N), np.arange(N)]
+    assert tcos.max() >= np.asarray(out.pre_logits).max() - 1e-5
+
+    g_kernel, g_feats = jax.grad(loss_fn, argnums=(0, 1))(kernel, feats)
+    assert np.isfinite(np.asarray(g_kernel)).all(), f"{name}: kernel grads"
+    assert np.isfinite(np.asarray(g_feats)).all(), f"{name}: feats grads"
