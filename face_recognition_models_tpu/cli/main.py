@@ -17,6 +17,7 @@ import time
 
 from face_recognition_models_tpu import config as cfg_lib
 from face_recognition_models_tpu.heads.base import available_heads
+from face_recognition_models_tpu.models.backbones import BACKBONES
 
 
 def _add_train_parser(sub):
@@ -25,8 +26,7 @@ def _add_train_parser(sub):
                    + ["mv_softmax_arc"],
                    help="margin head (mv_softmax_arc = MV with arc margin)")
     p.add_argument("--backbone", "-bb", default="resnet18",
-                   choices=["resnet18", "resnet50", "efficientnet_b0",
-                            "mobilenet_v2"])
+                   choices=sorted(BACKBONES))
     p.add_argument("--batch_size", "-bs", type=int, default=512)
     p.add_argument("--epochs", "-e", type=int, default=30)
     p.add_argument("--learning_rate", "-lr", type=float, default=0.1)
@@ -284,6 +284,10 @@ def _add_eval_parser(sub):
     p.add_argument("--device-protocol", action="store_true",
                    help="run the 10-fold protocol fully vectorized on "
                         "device instead of the sklearn host path")
+    p.add_argument("--tpr-far", default="",
+                   help="comma-separated FAR operating points (e.g. "
+                        "'1e-2,1e-3') to additionally report TPR@FAR per "
+                        "benchmark (beyond-reference; evaluation/openset.py)")
     return p
 
 
@@ -302,6 +306,7 @@ def cmd_eval(args) -> int:
         image_size=args.image_size,
         which=args.which,
         protocol="device" if args.device_protocol else "host",
+        fars=tuple(float(f) for f in args.tpr_far.split(",") if f),
     )
 
 
@@ -509,10 +514,35 @@ def cmd_embed(args) -> int:
         num_workers=args.num_workers)
 
 
+def _add_identify_parser(sub):
+    p = sub.add_parser(
+        "identify",
+        help="1:N identification between two `face embed` outputs "
+             "(CMC rank-k; TPIR@FPIR when probe identities are missing "
+             "from the gallery). Identity = parent directory of each "
+             "image path.")
+    p.add_argument("--gallery", required=True, metavar="GALLERY.npz")
+    p.add_argument("--probes", required=True, metavar="PROBES.npz")
+    p.add_argument("--ranks", default="1,5")
+    p.add_argument("--fpir", default="1e-1,1e-2",
+                   help="open-set FPIR operating points")
+    return p
+
+
+def cmd_identify(args) -> int:
+    from face_recognition_models_tpu.evaluation.openset import (
+        identify_from_npz)
+    res = identify_from_npz(
+        args.gallery, args.probes,
+        ranks=tuple(int(r) for r in args.ranks.split(",") if r),
+        fpirs=tuple(float(f) for f in args.fpir.split(",") if f))
+    print(res)
+    return 0
+
+
 def cmd_list(args) -> int:
     print("heads:     ", ", ".join(available_heads()))
-    print("backbones:  resnet18, resnet50, efficientnet_b0, mobilenet_v2, "
-          "inception_v3, iresnet18, iresnet50, iresnet100")
+    print("backbones: ", ", ".join(sorted(BACKBONES)))
     return 0
 
 
@@ -537,6 +567,7 @@ def main(argv=None) -> int:
     _add_facenet_parser(sub)
     _add_export_parser(sub)
     _add_embed_parser(sub)
+    _add_identify_parser(sub)
     sub.add_parser("list", help="list available heads/backbones")
 
     args = parser.parse_args(argv)
@@ -563,6 +594,8 @@ def main(argv=None) -> int:
         return cmd_export(args)
     if args.command == "embed":
         return cmd_embed(args)
+    if args.command == "identify":
+        return cmd_identify(args)
     if args.command == "list":
         return cmd_list(args)
     parser.error(f"unknown command {args.command}")

@@ -85,7 +85,11 @@ def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
                                 image_size: int = 112,
                                 batch_size: int = 256,
                                 verbose: bool = True,
-                                protocol: str = "host") -> VerificationResult:
+                                protocol: str = "host",
+                                fars: Sequence[float] = ()):
+    """Returns VerificationResult, or (VerificationResult, {far: tpr})
+    when `fars` is non-empty (TPR@FAR over the full pair list —
+    evaluation/openset.py; beyond the reference's accuracy/AUC)."""
     pairs_file, imgs_dir = benchmark_paths(eval_root, benchmark)
     pairs = load_pair_list(pairs_file)
     images_by_id = _load_benchmark_images(pairs, imgs_dir, image_size)
@@ -97,8 +101,15 @@ def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
     if protocol == "device":
         from face_recognition_models_tpu.evaluation.device_protocol import (
             kfold_verification_device)
-        return kfold_verification_device(sims, pairs[:, 2])
-    return kfold_verification(sims, pairs[:, 2], verbose=verbose)
+        res = kfold_verification_device(sims, pairs[:, 2])
+    else:
+        res = kfold_verification(sims, pairs[:, 2], verbose=verbose)
+    if not fars:
+        return res
+    from face_recognition_models_tpu.evaluation.openset import tpr_at_far
+    rates = {far: tpr for far, (tpr, _) in
+             tpr_at_far(sims, pairs[:, 2], fars).items()}
+    return res, rates
 
 
 def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
@@ -110,7 +121,8 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
                          output_dir: str = "evaluation_results",
                          image_size: int = 112,
                          which: str = "final",
-                         protocol: str = "host") -> int:
+                         protocol: str = "host",
+                         fars: Sequence[float] = ()) -> int:
     """which: 'final' evaluates the end-of-training snapshot; 'min_loss'
     evaluates the best-by-train-loss checkpoint (the reference's
     evaluate_models.py loads <Name>_min_loss.pth)."""
@@ -183,15 +195,21 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
             try:
                 res = evaluate_model_on_benchmark(
                     embed_fn, eval_data_path, bench, image_size, batch_size,
-                    protocol=protocol)
+                    protocol=protocol, fars=fars)
             except FileNotFoundError as e:
                 print(f"[skip] {name} on {bench}: {e}")
                 continue
+            rates = {}
+            if fars:
+                res, rates = res
             print(f"{name} on {bench}: {res}")
             acc_row[bench] = res.mean_accuracy
             acc_row[f"{bench}_std"] = res.std_accuracy
             auc_row[bench] = res.mean_auc
             auc_row[f"{bench}_std"] = res.std_auc
+            for far, tpr in rates.items():
+                print(f"  {bench} TPR@FAR={far:g}: {tpr * 100:.3f}%")
+                acc_row[f"{bench}_tpr@far={far:g}"] = tpr * 100.0
         acc_rows.append(acc_row)
         auc_rows.append(auc_row)
 

@@ -1,0 +1,185 @@
+"""Open-set / at-scale recognition metrics: TPR@FAR and 1:N identification.
+
+Beyond-reference evaluation capability. The reference's protocol reports
+only 10-fold verification accuracy + AUC (model_utils.py:416-474); modern
+face-recognition evaluation (IJB-B/C, MegaFace) additionally reports:
+
+- **TPR@FAR** (1:1 verification at fixed false-accept rates, e.g. 1e-4):
+  the operating-point metric production systems actually deploy at — a
+  single accuracy number hides the far tail of the impostor distribution.
+- **Closed-set 1:N identification** (CMC rank-k): probe against a gallery,
+  correct if the true identity ranks in the top k.
+- **Open-set 1:N identification** (TPIR@FPIR): probes may be absent from
+  the gallery; the accept threshold is set so that only a given fraction
+  of non-mated probes false-alarm.
+
+All metrics run on cached L2-normalized embeddings (embed-once, like
+evaluation/verification.py); the [P, G] probe-gallery cosine matrix is one
+matmul. Scores are cosines in [-1, 1] throughout.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+
+def tpr_at_far(scores: np.ndarray, labels: np.ndarray,
+               fars: Sequence[float] = (1e-1, 1e-2, 1e-3, 1e-4),
+               ) -> Dict[float, Tuple[float, float]]:
+    """TPR at fixed FAR operating points for 1:1 verification.
+
+    scores: pair cosine similarities; labels: 1 genuine / 0 impostor.
+    For each target FAR, the threshold is the tightest one whose measured
+    FAR does not exceed the target (the conservative convention — no
+    interpolation past measured points); returns {far: (tpr, threshold)}.
+    """
+    scores = np.asarray(scores, np.float64)
+    labels = np.asarray(labels).astype(bool)
+    genuine = np.sort(scores[labels])
+    impostor = np.sort(scores[~labels])[::-1]  # descending
+    n_imp = len(impostor)
+    if n_imp == 0 or len(genuine) == 0:
+        raise ValueError("need both genuine and impostor pairs")
+
+    out: Dict[float, Tuple[float, float]] = {}
+    for far in fars:
+        k = int(np.floor(far * n_imp))  # impostors allowed above threshold
+        if k >= n_imp:
+            thresh = -1.0
+        elif k == 0:
+            # nothing may pass: threshold just above the top impostor
+            thresh = float(np.nextafter(impostor[0], np.inf))
+        else:
+            # accept the k highest impostors: threshold just above the
+            # (k+1)-th highest
+            thresh = float(np.nextafter(impostor[k], np.inf))
+        tpr = float(np.mean(genuine >= thresh))
+        out[far] = (tpr, thresh)
+    return out
+
+
+def _best_per_identity(scores: np.ndarray, gallery_ids: np.ndarray
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Collapse [P, G_images] scores to [P, G_identities] by max-pooling
+    over each identity's gallery images; returns (pooled, unique_ids)."""
+    uniq = np.unique(gallery_ids)
+    pooled = np.empty((scores.shape[0], len(uniq)), scores.dtype)
+    for col, gid in enumerate(uniq):
+        pooled[:, col] = scores[:, gallery_ids == gid].max(axis=1)
+    return pooled, uniq
+
+
+@dataclass
+class IdentificationResult:
+    cmc: Dict[int, float]                    # rank -> accuracy %
+    tpir_at_fpir: Dict[float, float] = field(default_factory=dict)
+    thresholds: Dict[float, float] = field(default_factory=dict)
+
+    def __str__(self):
+        parts = [f"rank-{k} {v:.3f}%" for k, v in sorted(self.cmc.items())]
+        parts += [f"TPIR@FPIR={f:g} {v:.3f}%"
+                  for f, v in sorted(self.tpir_at_fpir.items())]
+        return "  ".join(parts)
+
+
+def closed_set_identification(gallery_emb: np.ndarray,
+                              gallery_ids: np.ndarray,
+                              probe_emb: np.ndarray,
+                              probe_ids: np.ndarray,
+                              ranks: Sequence[int] = (1, 5),
+                              ) -> IdentificationResult:
+    """CMC rank-k accuracy. Embeddings must be L2-normalized; every probe
+    identity must appear in the gallery."""
+    gallery_ids = np.asarray(gallery_ids)
+    probe_ids = np.asarray(probe_ids)
+    missing = set(probe_ids.tolist()) - set(gallery_ids.tolist())
+    if missing:
+        raise ValueError(
+            f"{len(missing)} probe identities missing from the gallery "
+            "(use open_set_identification for non-mated probes)")
+    scores = probe_emb @ gallery_emb.T                     # [P, G_images]
+    pooled, uniq = _best_per_identity(scores, gallery_ids)  # [P, G_ids]
+    true_col = np.searchsorted(uniq, probe_ids)
+    true_score = pooled[np.arange(len(probe_ids)), true_col]
+    # rank = number of identities scoring strictly higher, ties favor us
+    rank = (pooled > true_score[:, None]).sum(axis=1)
+    cmc = {k: float(100.0 * np.mean(rank < k)) for k in ranks}
+    return IdentificationResult(cmc=cmc)
+
+
+def open_set_identification(gallery_emb: np.ndarray,
+                            gallery_ids: np.ndarray,
+                            probe_emb: np.ndarray,
+                            probe_ids: np.ndarray,
+                            fpirs: Sequence[float] = (1e-1, 1e-2),
+                            ranks: Sequence[int] = (1,),
+                            ) -> IdentificationResult:
+    """Open-set 1:N (IJB-C style): probes whose identity is NOT in the
+    gallery are non-mated; the accept threshold at each target FPIR is set
+    on the non-mated top-score distribution, and TPIR = fraction of mated
+    probes identified at rank 1 with top score above the threshold."""
+    gallery_ids = np.asarray(gallery_ids)
+    probe_ids = np.asarray(probe_ids)
+    scores = probe_emb @ gallery_emb.T
+    pooled, uniq = _best_per_identity(scores, gallery_ids)
+    top_score = pooled.max(axis=1)
+    top_col = pooled.argmax(axis=1)
+
+    mated = np.isin(probe_ids, uniq)
+    if not mated.any() or mated.all():
+        raise ValueError("open-set protocol needs both mated and "
+                         "non-mated probes")
+    nonmated_top = np.sort(top_score[~mated])[::-1]
+    n_nm = len(nonmated_top)
+
+    top1_correct = np.zeros(len(probe_ids), bool)
+    m_idx = np.where(mated)[0]
+    true_col = np.searchsorted(uniq, probe_ids[m_idx])
+    top1_correct[m_idx] = top_col[m_idx] == true_col
+
+    cmc = {k: float(100.0 * np.mean(
+        (pooled[m_idx] > pooled[m_idx, true_col][:, None]).sum(axis=1) < k))
+        for k in ranks}
+
+    tpir, thresholds = {}, {}
+    for fpir in fpirs:
+        k = int(np.floor(fpir * n_nm))
+        if k == 0:
+            thresh = float(np.nextafter(nonmated_top[0], np.inf))
+        elif k >= n_nm:
+            thresh = -1.0
+        else:
+            thresh = float(np.nextafter(nonmated_top[k], np.inf))
+        accept = top_score[m_idx] >= thresh
+        tpir[fpir] = float(100.0 * np.mean(top1_correct[m_idx] & accept))
+        thresholds[fpir] = thresh
+    return IdentificationResult(cmc=cmc, tpir_at_fpir=tpir,
+                                thresholds=thresholds)
+
+
+def _ids_from_paths(paths: np.ndarray) -> np.ndarray:
+    """Identity label = parent directory name (the identity-folder layout
+    the reference's datasets use, dataset.py:93)."""
+    import os
+    return np.asarray([os.path.basename(os.path.dirname(str(p)))
+                       for p in paths])
+
+
+def identify_from_npz(gallery_npz: str, probes_npz: str,
+                      ranks: Sequence[int] = (1, 5),
+                      fpirs: Sequence[float] = (1e-1, 1e-2),
+                      ) -> IdentificationResult:
+    """1:N identification over two `face embed` outputs (.npz with
+    `embeddings` [N, D] L2-normalized + `paths`). Identities come from
+    each path's parent directory. Runs the closed-set protocol when every
+    probe identity exists in the gallery, the open-set protocol otherwise."""
+    g = np.load(gallery_npz, allow_pickle=False)
+    p = np.load(probes_npz, allow_pickle=False)
+    g_emb, g_ids = g["embeddings"], _ids_from_paths(g["paths"])
+    p_emb, p_ids = p["embeddings"], _ids_from_paths(p["paths"])
+    if set(p_ids.tolist()) <= set(g_ids.tolist()):
+        return closed_set_identification(g_emb, g_ids, p_emb, p_ids, ranks)
+    return open_set_identification(g_emb, g_ids, p_emb, p_ids, fpirs, ranks)

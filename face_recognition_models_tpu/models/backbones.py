@@ -22,6 +22,7 @@ from face_recognition_models_tpu.models.iresnet import (
 )
 from face_recognition_models_tpu.models.mobilenet import mobilenet_v2
 from face_recognition_models_tpu.models.resnet import resnet18, resnet50
+from face_recognition_models_tpu.models.vit import vit_b, vit_s, vit_t
 
 BACKBONES = {
     "resnet18": resnet18,
@@ -37,6 +38,11 @@ BACKBONES = {
     "iresnet18": iresnet18,
     "iresnet50": iresnet50,
     "iresnet100": iresnet100,
+    # Beyond-reference: TPU-first ViT trunks (models/vit.py) — 196-token
+    # patch-8 sequences whose attention/MLP matmuls are MXU-shaped.
+    "vit_t": vit_t,
+    "vit_s": vit_s,
+    "vit_b": vit_b,
 }
 
 

@@ -86,3 +86,59 @@ def test_inception_v3_shapes_and_facenet_trunk():
     emb = fn.apply(v, x, train=False)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0,
                                rtol=1e-5)
+
+
+def test_vit_shapes_and_feature_bn():
+    """ViT trunks (models/vit.py, beyond-reference): fp32 embedding out,
+    frozen-scale feature BN (batch_stats exists, no scale param), pos-embed
+    sized to the token grid."""
+    model = get_backbone("vit_t", embed_dim=64, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, IMG, IMG, 3))
+    variables = model.init({"params": rng}, x, train=False)
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 64)
+    assert out.dtype == jnp.float32
+    assert np.isfinite(np.asarray(out)).all()
+    # frozen-scale feature BN: bias yes, scale no (iresnet convention)
+    feat = variables["params"]["features"]
+    assert "bias" in feat and "scale" not in feat
+    # pos-embed matches the 32/8 = 4x4 token grid
+    assert variables["params"]["pos_embed"].shape == (1, 16, 192)
+    # train mode mutates the feature-BN running stats
+    _, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    before = jax.tree.leaves(variables["batch_stats"])
+    after = jax.tree.leaves(mutated["batch_stats"])
+    assert any(not np.allclose(np.asarray(a), np.asarray(b))
+               for a, b in zip(before, after))
+
+
+def test_vit_patch_mismatch_raises():
+    model = get_backbone("vit_t", embed_dim=32, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    with pytest.raises(ValueError, match="patch_size"):
+        model.init(rng, jnp.zeros((1, 30, 30, 3)), train=False)
+
+
+@pytest.mark.slow
+def test_vit_trains_end_to_end():
+    """fit() drives a ViT trunk through the standard margin-head train
+    path: loss finite and decreasing trend over two epochs."""
+    from face_recognition_models_tpu import config as cfg_lib
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities,
+    )
+    from face_recognition_models_tpu.train.loop import fit
+
+    images, labels = synthetic_identities(8, 8, image_size=IMG, seed=0,
+                                          noise=10.0)
+    loader = ArrayLoader(images, labels, batch_size=16, seed=0)
+    cfg = cfg_lib.TrainConfig(
+        backbone="vit_t", head="arcface", num_classes=8, batch_size=16,
+        epochs=2, seed=0, data=cfg_lib.DataConfig(image_size=IMG),
+        optimizer=cfg_lib.OptimizerConfig(learning_rate=0.02))
+    result = fit(cfg, loader, use_mesh=False)
+    assert np.isfinite(result.min_train_loss)
+    assert result.min_train_loss < 36.0  # below the from-init CE plateau

@@ -1,0 +1,164 @@
+"""Open-set metrics (evaluation/openset.py): TPR@FAR, CMC, TPIR@FPIR —
+checked against hand-computable constructions."""
+
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu.evaluation import (
+    closed_set_identification,
+    open_set_identification,
+    tpr_at_far,
+)
+
+
+def _unit(v):
+    return v / np.linalg.norm(v, axis=-1, keepdims=True)
+
+
+def test_tpr_at_far_exact_small_case():
+    # 10 impostors at scores .0,.1,...,.9 ; 10 genuines at .55,.65,...,1.45
+    imp = np.arange(10) / 10.0
+    gen = 0.55 + np.arange(10) / 10.0
+    scores = np.concatenate([gen, imp])
+    labels = np.concatenate([np.ones(10), np.zeros(10)]).astype(int)
+
+    res = tpr_at_far(scores, labels, fars=(0.1, 0.2, 0.0))
+    # FAR=0.1 -> exactly 1 impostor may pass (the 0.9): threshold just
+    # above the 2nd-highest impostor 0.8 -> genuines >= thresh: 0.85..1.45
+    tpr, thresh = res[0.1]
+    assert thresh == pytest.approx(0.8, abs=1e-9)
+    assert tpr == pytest.approx(7 / 10)
+    # FAR=0.2 -> 2 impostors pass, threshold just above 0.7
+    tpr2, _ = res[0.2]
+    assert tpr2 == pytest.approx(8 / 10)
+    # FAR=0 -> nothing passes; threshold above the top impostor 0.9
+    tpr0, thresh0 = res[0.0]
+    assert thresh0 > 0.9
+    assert tpr0 == pytest.approx(6 / 10)  # genuines 0.95..1.45
+
+
+def test_tpr_at_far_monotone_in_far():
+    rng = np.random.default_rng(0)
+    scores = np.concatenate([rng.normal(0.6, 0.2, 4000),
+                             rng.normal(0.0, 0.2, 4000)])
+    labels = np.concatenate([np.ones(4000), np.zeros(4000)]).astype(int)
+    res = tpr_at_far(scores, labels, fars=(1e-1, 1e-2, 1e-3))
+    tprs = [res[f][0] for f in (1e-1, 1e-2, 1e-3)]
+    assert tprs[0] >= tprs[1] >= tprs[2] > 0
+
+
+def test_closed_set_identification_oracle():
+    # gallery: 4 identities along coordinate axes, 2 images each (slightly
+    # rotated); probes: noisy copies -> rank-1 should be 100%
+    rng = np.random.default_rng(1)
+    gal_ids = np.repeat(np.arange(4), 2)
+    gal = _unit(np.eye(4)[gal_ids] + rng.normal(0, 0.05, (8, 4)))
+    probe_ids = np.array([0, 1, 2, 3] * 3)
+    probes = _unit(np.eye(4)[probe_ids] + rng.normal(0, 0.05, (12, 4)))
+    res = closed_set_identification(gal, gal_ids, probes, probe_ids,
+                                    ranks=(1, 2))
+    assert res.cmc[1] == 100.0
+    assert res.cmc[2] == 100.0
+
+    # adversarial probe: one probe pointing at the WRONG axis -> rank-1
+    # drops by exactly one probe's worth
+    probes_bad = probes.copy()
+    probes_bad[0] = _unit(np.eye(4)[1] + rng.normal(0, 0.01, 4))
+    res2 = closed_set_identification(gal, gal_ids, probes_bad, probe_ids,
+                                     ranks=(1,))
+    assert res2.cmc[1] == pytest.approx(100.0 * 11 / 12)
+
+
+def test_closed_set_rejects_unknown_probe_ids():
+    gal = _unit(np.eye(3))
+    with pytest.raises(ValueError, match="missing from the gallery"):
+        closed_set_identification(gal, np.arange(3), gal, np.array([5, 1, 2]))
+
+
+def test_open_set_identification_oracle():
+    # gallery: identities 0..3; mated probes near their axis, non-mated
+    # probes orthogonal-ish (random in the remaining dims)
+    rng = np.random.default_rng(2)
+    d = 16
+    axes = np.eye(d)
+    gal_ids = np.arange(4)
+    gal = _unit(axes[:4] + rng.normal(0, 0.02, (4, d)))
+    mated_ids = np.array([0, 1, 2, 3] * 5)
+    mated = _unit(axes[mated_ids] + rng.normal(0, 0.05, (20, d)))
+    # non-mated: identities 100+ living on axes 8..15 (far from gallery)
+    nm_ids = 100 + np.arange(20)
+    nonmated = _unit(axes[8 + (np.arange(20) % 8)]
+                     + rng.normal(0, 0.05, (20, d)))
+
+    probes = np.concatenate([mated, nonmated])
+    probe_ids = np.concatenate([mated_ids, nm_ids])
+    res = open_set_identification(gal, gal_ids, probes, probe_ids,
+                                  fpirs=(0.05, 0.5))
+    # fpir=0.05 over 20 non-mated -> floor(1) may false-alarm; the mated
+    # scores (~1.0) sit far above the non-mated (~0.1): all accepted
+    assert res.tpir_at_fpir[0.05] == 100.0
+    assert res.cmc[1] == 100.0
+    # threshold at the stricter point is higher
+    assert res.thresholds[0.05] >= res.thresholds[0.5]
+
+
+def test_open_set_requires_both_populations():
+    gal = _unit(np.eye(3))
+    with pytest.raises(ValueError, match="mated and"):
+        open_set_identification(gal, np.arange(3), gal, np.arange(3))
+
+
+def test_tpr_far_integration_with_verification_pairs():
+    """Synthetic identity embeddings through the pair machinery: genuine
+    pairs same-identity, impostor cross-identity; TPR@FAR=1 must be 1.0
+    when the construction is separable."""
+    rng = np.random.default_rng(3)
+    ids = np.repeat(np.arange(8), 4)
+    emb = _unit(np.eye(8)[ids] + rng.normal(0, 0.1, (32, 8)))
+    gen = [float(emb[i] @ emb[i + 1]) for i in range(0, 32, 4)]
+    imp = [float(emb[i] @ emb[(i + 5) % 32]) for i in range(0, 32, 4)
+           if ids[i] != ids[(i + 5) % 32]]
+    scores = np.array(gen + imp)
+    labels = np.array([1] * len(gen) + [0] * len(imp))
+    res = tpr_at_far(scores, labels, fars=(1.0,))
+    assert res[1.0][0] == 1.0
+
+
+def test_identify_from_npz_and_cli(tmp_path, capsys):
+    """identify_from_npz over two `face embed`-format archives; identity
+    from the parent dir of each path; CLI prints the result."""
+    rng = np.random.default_rng(4)
+    d = 8
+    gal_ids = np.repeat(np.arange(4), 2)
+    gal = _unit(np.eye(d)[gal_ids] + rng.normal(0, 0.05, (8, d))
+                ).astype(np.float32)
+    gal_paths = np.array([f"g/id{int(i)}/{n}.jpg"
+                          for n, i in enumerate(gal_ids)])
+    probe_ids = np.array([0, 1, 2, 3] * 2)
+    probes = _unit(np.eye(d)[probe_ids] + rng.normal(0, 0.05, (8, d))
+                   ).astype(np.float32)
+    probe_paths = np.array([f"p/id{int(i)}/{n}.jpg"
+                            for n, i in enumerate(probe_ids)])
+    g_npz, p_npz = str(tmp_path / "g.npz"), str(tmp_path / "p.npz")
+    np.savez(g_npz, embeddings=gal, paths=gal_paths)
+    np.savez(p_npz, embeddings=probes, paths=probe_paths)
+
+    from face_recognition_models_tpu.evaluation.openset import (
+        identify_from_npz,
+    )
+    res = identify_from_npz(g_npz, p_npz, ranks=(1,))
+    assert res.cmc[1] == 100.0
+    assert not res.tpir_at_fpir  # closed set: all probe ids in gallery
+
+    # non-mated probes flip it to the open-set protocol
+    probe_paths_open = probe_paths.copy()
+    probe_paths_open[:4] = [f"p/unknown{n}/x.jpg" for n in range(4)]
+    p2_npz = str(tmp_path / "p2.npz")
+    np.savez(p2_npz, embeddings=probes, paths=probe_paths_open)
+    res2 = identify_from_npz(g_npz, p2_npz, ranks=(1,), fpirs=(0.5,))
+    assert res2.tpir_at_fpir  # open-set metrics present
+
+    from face_recognition_models_tpu.cli.main import main
+    assert main(["identify", "--gallery", g_npz, "--probes", p_npz,
+                 "--ranks", "1"]) == 0
+    assert "rank-1 100.000%" in capsys.readouterr().out
