@@ -30,6 +30,28 @@ def _add_train_parser(sub):
     p.add_argument("--batch_size", "-bs", type=int, default=512)
     p.add_argument("--epochs", "-e", type=int, default=30)
     p.add_argument("--learning_rate", "-lr", type=float, default=0.1)
+    # the reference ships optimizer/scheduler factories (optimizers.py:3-71,
+    # schedulers.py:3-104) but hardcodes SGD+customstep in the pipeline
+    # (model_utils.py:556-558); here both factories are CLI-addressable.
+    p.add_argument("--optimizer", default="sgd",
+                   help="optimizer name (train/optim.py factory: sgd, adam, "
+                        "adamw, rmsprop, adagrad, nadam, adamax, lion). "
+                        "ViT trunks usually want adamw + warmup_cosine.")
+    p.add_argument("--weight-decay", type=float, default=5e-4,
+                   help="weight decay (reference model_utils.py:557)")
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--nesterov", action="store_true")
+    p.add_argument("--scheduler", default="customstep",
+                   help="LR schedule (train/schedules.py: customstep, step, "
+                        "multistep, cosine, exponential, warmup_cosine, "
+                        "none)")
+    p.add_argument("--lr-steps", default="20,40,60",
+                   help="customstep drop epochs (reference schedulers.py:22)")
+    p.add_argument("--warmup-epochs", type=int, default=5,
+                   help="warmup length for --scheduler warmup_cosine")
+    p.add_argument("--flip", action="store_true",
+                   help="random horizontal flip (on-device; the reference "
+                        "ships this commented out, model_utils.py:540)")
     p.add_argument("--lambda_g", type=float, default=0.0,
                    help="Magnitude loss weight (MagFace)")
     p.add_argument("--print_freq", type=int, default=100)
@@ -120,11 +142,19 @@ def cmd_train(args) -> int:
         grad_accum=args.grad_accum,
         model_ema=args.model_ema,
         bn_dtype=args.bn_dtype,
-        optimizer=cfg_lib.OptimizerConfig(learning_rate=args.learning_rate),
+        optimizer=cfg_lib.OptimizerConfig(
+            name=args.optimizer, learning_rate=args.learning_rate,
+            momentum=args.momentum, weight_decay=args.weight_decay,
+            nesterov=args.nesterov),
+        schedule=cfg_lib.ScheduleConfig(
+            name=args.scheduler,
+            steps=tuple(int(s) for s in args.lr_steps.split(",") if s),
+            warmup_epochs=args.warmup_epochs),
         mesh=cfg_lib.MeshConfig(data=args.mesh_data, model=args.mesh_model),
         data=cfg_lib.DataConfig(dataset_path=args.dataset_path,
                                 image_size=args.image_size,
-                                num_workers=args.num_workers),
+                                num_workers=args.num_workers,
+                                horizontal_flip=args.flip),
     )
 
     # --- data ---

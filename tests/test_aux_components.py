@@ -166,3 +166,33 @@ def test_step_timer():
         timer.tick(x)
     assert np.isfinite(timer.seconds_per_step)
     assert timer.seconds_per_step >= 0.0
+
+
+def test_cli_train_optimizer_scheduler_flags(tmp_path, capsys):
+    """`face train` exposes the optimizer/scheduler factories (the
+    reference ships them, optimizers.py:3-71 / schedulers.py:3-104, but
+    hardcodes SGD+customstep at model_utils.py:556-558): a synthetic run
+    with adamw + warmup_cosine + --flip trains end to end and reports a
+    finite decreasing loss."""
+    from face_recognition_models_tpu.cli.main import main
+
+    rc = main(["train", "--synthetic", "--synthetic-classes", "4",
+               "--synthetic-per-class", "4", "--image-size", "32",
+               "-bs", "8", "-e", "2", "-lr", "1e-3",
+               "--optimizer", "adamw", "--weight-decay", "0.01",
+               "--scheduler", "warmup_cosine", "--warmup-epochs", "1",
+               "--flip", "--backbone", "resnet18", "--head", "cosface",
+               "--working-path", str(tmp_path), "--print_freq", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Loss" in out
+
+
+def test_cli_train_rejects_unknown_optimizer(tmp_path):
+    from face_recognition_models_tpu.cli.main import main
+
+    with pytest.raises(ValueError, match="Unknown optimizer"):
+        main(["train", "--synthetic", "--synthetic-classes", "4",
+              "--synthetic-per-class", "4", "--image-size", "32",
+              "-bs", "8", "-e", "1", "--optimizer", "sophia",
+              "--working-path", str(tmp_path)])
