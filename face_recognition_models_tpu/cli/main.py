@@ -556,6 +556,9 @@ def _add_identify_parser(sub):
     p.add_argument("--ranks", default="1,5")
     p.add_argument("--fpir", default="1e-1,1e-2",
                    help="open-set FPIR operating points")
+    p.add_argument("--device", action="store_true",
+                   help="score probe-gallery cosines on the accelerator "
+                        "(million-image galleries; same numbers)")
     return p
 
 
@@ -565,7 +568,8 @@ def cmd_identify(args) -> int:
     res = identify_from_npz(
         args.gallery, args.probes,
         ranks=tuple(int(r) for r in args.ranks.split(",") if r),
-        fpirs=tuple(float(f) for f in args.fpir.split(",") if f))
+        fpirs=tuple(float(f) for f in args.fpir.split(",") if f),
+        device=args.device)
     print(res)
     return 0
 

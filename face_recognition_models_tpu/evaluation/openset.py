@@ -64,12 +64,62 @@ def tpr_at_far(scores: np.ndarray, labels: np.ndarray,
 def _best_per_identity(scores: np.ndarray, gallery_ids: np.ndarray
                        ) -> Tuple[np.ndarray, np.ndarray]:
     """Collapse [P, G_images] scores to [P, G_identities] by max-pooling
-    over each identity's gallery images; returns (pooled, unique_ids)."""
-    uniq = np.unique(gallery_ids)
-    pooled = np.empty((scores.shape[0], len(uniq)), scores.dtype)
-    for col, gid in enumerate(uniq):
-        pooled[:, col] = scores[:, gallery_ids == gid].max(axis=1)
+    over each identity's gallery images; returns (pooled, unique_ids).
+
+    Vectorized via sort + maximum.reduceat — no per-identity Python loop,
+    so a 100k-identity gallery pools in one pass."""
+    order = np.argsort(gallery_ids, kind="stable")
+    uniq, starts = np.unique(gallery_ids[order], return_index=True)
+    pooled = np.maximum.reduceat(scores[:, order], starts, axis=1)
     return pooled, uniq
+
+
+def pooled_scores_device(gallery_emb: np.ndarray, gallery_ids: np.ndarray,
+                         probe_emb: np.ndarray, chunk: int = 256,
+                         ) -> Tuple[np.ndarray, np.ndarray]:
+    """[P, U] identity-pooled probe-gallery cosines computed ON DEVICE:
+    the [chunk, G] matmul and the per-identity segment-max both run under
+    one jit, so a million-image gallery never materializes host-side.
+
+    Probes are processed in fixed-size chunks (static shapes — one XLA
+    program regardless of P; the last chunk is padded). fp32 matmul at
+    HIGHEST precision: identification ranks on cosine gaps that bf16
+    single-pass would blur. Returns (pooled [P, U] on host, unique_ids)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    order = np.argsort(gallery_ids, kind="stable")
+    uniq = np.unique(gallery_ids)
+    # device_put ONCE and pass as jit arguments — closing over the arrays
+    # would bake a multi-GB gallery into the compiled program as captured
+    # constants (re-shipped per compile).
+    gal = jax.device_put(
+        np.ascontiguousarray(gallery_emb[order], np.float32))
+    seg = jax.device_put(np.searchsorted(uniq, gallery_ids[order]))
+    n_seg = len(uniq)
+
+    @functools.partial(jax.jit, static_argnums=(3,))
+    def score_chunk(probes, gal, seg, n_seg):
+        s = jnp.matmul(probes, gal.T,
+                       precision=jax.lax.Precision.HIGHEST)  # [chunk, G]
+        return jax.ops.segment_max(s.T, seg, num_segments=n_seg,
+                                   indices_are_sorted=True).T  # [chunk, U]
+
+    p = np.asarray(probe_emb, np.float32)
+    n = p.shape[0]
+    out = np.empty((n, n_seg), np.float32)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        block = p[lo:hi]
+        if hi - lo < chunk:  # pad to the static chunk shape
+            block = np.concatenate(
+                [block, np.zeros((chunk - (hi - lo), p.shape[1]),
+                                 np.float32)])
+        out[lo:hi] = np.asarray(
+            score_chunk(jnp.asarray(block), gal, seg, n_seg))[:hi - lo]
+    return out, uniq
 
 
 @dataclass
@@ -90,9 +140,11 @@ def closed_set_identification(gallery_emb: np.ndarray,
                               probe_emb: np.ndarray,
                               probe_ids: np.ndarray,
                               ranks: Sequence[int] = (1, 5),
+                              device: bool = False,
                               ) -> IdentificationResult:
     """CMC rank-k accuracy. Embeddings must be L2-normalized; every probe
-    identity must appear in the gallery."""
+    identity must appear in the gallery. device=True scores on the TPU
+    (pooled_scores_device) — same numbers, million-image galleries."""
     gallery_ids = np.asarray(gallery_ids)
     probe_ids = np.asarray(probe_ids)
     missing = set(probe_ids.tolist()) - set(gallery_ids.tolist())
@@ -100,8 +152,12 @@ def closed_set_identification(gallery_emb: np.ndarray,
         raise ValueError(
             f"{len(missing)} probe identities missing from the gallery "
             "(use open_set_identification for non-mated probes)")
-    scores = probe_emb @ gallery_emb.T                     # [P, G_images]
-    pooled, uniq = _best_per_identity(scores, gallery_ids)  # [P, G_ids]
+    if device:
+        pooled, uniq = pooled_scores_device(gallery_emb, gallery_ids,
+                                            probe_emb)
+    else:
+        scores = probe_emb @ gallery_emb.T                 # [P, G_images]
+        pooled, uniq = _best_per_identity(scores, gallery_ids)  # [P, G_ids]
     true_col = np.searchsorted(uniq, probe_ids)
     true_score = pooled[np.arange(len(probe_ids)), true_col]
     # rank = number of identities scoring strictly higher, ties favor us
@@ -116,15 +172,21 @@ def open_set_identification(gallery_emb: np.ndarray,
                             probe_ids: np.ndarray,
                             fpirs: Sequence[float] = (1e-1, 1e-2),
                             ranks: Sequence[int] = (1,),
+                            device: bool = False,
                             ) -> IdentificationResult:
     """Open-set 1:N (IJB-C style): probes whose identity is NOT in the
     gallery are non-mated; the accept threshold at each target FPIR is set
     on the non-mated top-score distribution, and TPIR = fraction of mated
-    probes identified at rank 1 with top score above the threshold."""
+    probes identified at rank 1 with top score above the threshold.
+    device=True scores on the TPU (pooled_scores_device)."""
     gallery_ids = np.asarray(gallery_ids)
     probe_ids = np.asarray(probe_ids)
-    scores = probe_emb @ gallery_emb.T
-    pooled, uniq = _best_per_identity(scores, gallery_ids)
+    if device:
+        pooled, uniq = pooled_scores_device(gallery_emb, gallery_ids,
+                                            probe_emb)
+    else:
+        scores = probe_emb @ gallery_emb.T
+        pooled, uniq = _best_per_identity(scores, gallery_ids)
     top_score = pooled.max(axis=1)
     top_col = pooled.argmax(axis=1)
 
@@ -171,15 +233,19 @@ def _ids_from_paths(paths: np.ndarray) -> np.ndarray:
 def identify_from_npz(gallery_npz: str, probes_npz: str,
                       ranks: Sequence[int] = (1, 5),
                       fpirs: Sequence[float] = (1e-1, 1e-2),
+                      device: bool = False,
                       ) -> IdentificationResult:
     """1:N identification over two `face embed` outputs (.npz with
     `embeddings` [N, D] L2-normalized + `paths`). Identities come from
     each path's parent directory. Runs the closed-set protocol when every
-    probe identity exists in the gallery, the open-set protocol otherwise."""
+    probe identity exists in the gallery, the open-set protocol otherwise.
+    device=True runs the probe-gallery scoring on the accelerator."""
     g = np.load(gallery_npz, allow_pickle=False)
     p = np.load(probes_npz, allow_pickle=False)
     g_emb, g_ids = g["embeddings"], _ids_from_paths(g["paths"])
     p_emb, p_ids = p["embeddings"], _ids_from_paths(p["paths"])
     if set(p_ids.tolist()) <= set(g_ids.tolist()):
-        return closed_set_identification(g_emb, g_ids, p_emb, p_ids, ranks)
-    return open_set_identification(g_emb, g_ids, p_emb, p_ids, fpirs, ranks)
+        return closed_set_identification(g_emb, g_ids, p_emb, p_ids, ranks,
+                                         device=device)
+    return open_set_identification(g_emb, g_ids, p_emb, p_ids, fpirs, ranks,
+                                   device=device)

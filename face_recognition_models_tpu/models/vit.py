@@ -97,6 +97,12 @@ class VisionTransformer(nn.Module):
     mlp_ratio: int = 4
     dtype: Any = jnp.bfloat16
     bn_dtype: Any = jnp.float32  # LayerNorm compute dtype here
+    # activation rematerialization: recompute block activations in the
+    # backward pass instead of storing them (jax.checkpoint / nn.remat).
+    # vit_b at b512 needs ~12 x 441 MB of saved qkv activations alone and
+    # OOMs a 16 GB chip without it; the recompute costs ~1/3 extra fwd
+    # FLOPs for ~12x less activation memory.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -120,10 +126,11 @@ class VisionTransformer(nn.Module):
                          (1, gh * gw, d), jnp.float32)
         x = x + pos.astype(self.dtype)
 
+        block_cls = nn.remat(Block) if self.remat else Block
         for i in range(self.depth):
-            x = Block(self.dim, self.num_heads, self.mlp_ratio,
-                      dtype=self.dtype, ln_dtype=self.bn_dtype,
-                      name=f"block{i}")(x)
+            x = block_cls(self.dim, self.num_heads, self.mlp_ratio,
+                          dtype=self.dtype, ln_dtype=self.bn_dtype,
+                          name=f"block{i}")(x)
 
         x = nn.LayerNorm(epsilon=1e-6, dtype=self.bn_dtype,
                          param_dtype=jnp.float32, name="ln_final")(x)
@@ -139,21 +146,25 @@ class VisionTransformer(nn.Module):
 
 
 def vit_t(embed_dim: int = 512, dtype: Any = jnp.bfloat16,
-          bn_dtype: Any = jnp.float32) -> VisionTransformer:
+          bn_dtype: Any = jnp.float32, remat: bool = False,
+          ) -> VisionTransformer:
     return VisionTransformer(depth=12, dim=192, num_heads=3,
                              embed_dim=embed_dim, dtype=dtype,
-                             bn_dtype=bn_dtype)
+                             bn_dtype=bn_dtype, remat=remat)
 
 
 def vit_s(embed_dim: int = 512, dtype: Any = jnp.bfloat16,
-          bn_dtype: Any = jnp.float32) -> VisionTransformer:
+          bn_dtype: Any = jnp.float32, remat: bool = False,
+          ) -> VisionTransformer:
     return VisionTransformer(depth=12, dim=384, num_heads=6,
                              embed_dim=embed_dim, dtype=dtype,
-                             bn_dtype=bn_dtype)
+                             bn_dtype=bn_dtype, remat=remat)
 
 
 def vit_b(embed_dim: int = 512, dtype: Any = jnp.bfloat16,
-          bn_dtype: Any = jnp.float32) -> VisionTransformer:
+          bn_dtype: Any = jnp.float32, remat: bool = True,
+          ) -> VisionTransformer:
+    # remat defaults ON: b512 training OOMs a 16 GB chip without it
     return VisionTransformer(depth=12, dim=768, num_heads=12,
                              embed_dim=embed_dim, dtype=dtype,
-                             bn_dtype=bn_dtype)
+                             bn_dtype=bn_dtype, remat=remat)

@@ -96,7 +96,11 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
         print_freq=args.print_freq, bn_dtype=args.bn_dtype,
         scan_steps=args.scan_steps, partial_fc=args.partial_fc,
         model_ema=args.model_ema,
-        optimizer=cfg_lib.OptimizerConfig(learning_rate=lr),
+        optimizer=cfg_lib.OptimizerConfig(
+            name=args.optimizer, learning_rate=lr,
+            weight_decay=args.weight_decay),
+        schedule=cfg_lib.ScheduleConfig(
+            name=args.scheduler, warmup_epochs=args.warmup_epochs),
         data=cfg_lib.DataConfig(image_size=args.image_size))
     loader = ArrayLoader(train_x, train_y, batch_size=args.batch, seed=seed)
     t0 = time.time()
@@ -109,7 +113,8 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
         "metric": "synthetic_verification", "stage": stage,
         "head": args.head, "backbone": args.backbone,
         "classes": classes, "batch": args.batch, "epochs": epochs,
-        "lr": lr, "partial_fc": args.partial_fc,
+        "lr": lr, "optimizer": args.optimizer,
+        "scheduler": args.scheduler, "partial_fc": args.partial_fc,
         "bn_dtype": args.bn_dtype, "model_ema": args.model_ema,
         "warm_started": warm_start is not None,
         "mean_accuracy": round(res.mean_accuracy, 3),
@@ -132,6 +137,10 @@ def main():
     ap.add_argument("--batch", type=int, default=512)
     ap.add_argument("--epochs", type=int, default=15)
     ap.add_argument("--lr", type=float, default=0.1)
+    ap.add_argument("--optimizer", default="sgd")
+    ap.add_argument("--weight-decay", type=float, default=5e-4)
+    ap.add_argument("--scheduler", default="customstep")
+    ap.add_argument("--warmup-epochs", type=int, default=1)
     ap.add_argument("--scan-steps", type=int, default=8)
     ap.add_argument("--bn-dtype", choices=["float32", "bfloat16"],
                     default="float32")

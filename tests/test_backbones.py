@@ -142,3 +142,34 @@ def test_vit_trains_end_to_end():
     result = fit(cfg, loader, use_mesh=False)
     assert np.isfinite(result.min_train_loss)
     assert result.min_train_loss < 36.0  # below the from-init CE plateau
+
+
+def test_vit_remat_is_numerically_identical():
+    """nn.remat(Block) must change memory, not math: outputs and grads
+    identical with remat on/off (vit_b defaults remat=True because b512
+    training OOMs a 16 GB chip without it)."""
+    from face_recognition_models_tpu.models.vit import VisionTransformer
+
+    kw = dict(depth=2, dim=32, num_heads=2, embed_dim=16,
+              dtype=jnp.float32)
+    m0 = VisionTransformer(remat=False, **kw)
+    m1 = VisionTransformer(remat=True, **kw)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 3))
+    v = m0.init({"params": rng}, x, train=False)
+
+    out0 = m0.apply(v, x, train=False)
+    out1 = m1.apply(v, x, train=False)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(out1))
+
+    def loss(m):
+        def f(params):
+            y, _ = m.apply({**v, "params": params}, x, train=True,
+                           mutable=["batch_stats"])
+            return jnp.sum(y ** 2)
+        return jax.grad(f)(v["params"])
+
+    g0, g1 = loss(m0), loss(m1)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-6)

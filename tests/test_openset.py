@@ -162,3 +162,58 @@ def test_identify_from_npz_and_cli(tmp_path, capsys):
     assert main(["identify", "--gallery", g_npz, "--probes", p_npz,
                  "--ranks", "1"]) == 0
     assert "rank-1 100.000%" in capsys.readouterr().out
+
+
+def test_best_per_identity_matches_bruteforce():
+    """The sort+reduceat pooling equals per-identity max over unsorted,
+    duplicated, non-contiguous gallery ids."""
+    from face_recognition_models_tpu.evaluation.openset import (
+        _best_per_identity,
+    )
+    rng = np.random.default_rng(5)
+    gids = rng.integers(0, 7, 40) * 10  # non-contiguous, shuffled
+    scores = rng.normal(size=(9, 40))
+    pooled, uniq = _best_per_identity(scores, gids)
+    for col, gid in enumerate(uniq):
+        np.testing.assert_allclose(pooled[:, col],
+                                   scores[:, gids == gid].max(axis=1))
+
+
+def test_device_scoring_matches_host():
+    """pooled_scores_device (jit matmul + segment_max, probe chunking with
+    padding) returns the host path's pooled matrix; the identification
+    results agree end to end including a non-chunk-aligned probe count."""
+    from face_recognition_models_tpu.evaluation.openset import (
+        _best_per_identity,
+        pooled_scores_device,
+    )
+    rng = np.random.default_rng(6)
+    d = 12
+    gal_ids = np.repeat(np.arange(6), 3)
+    gal = _unit(np.eye(d)[gal_ids] + rng.normal(0, 0.1, (18, d))
+                ).astype(np.float32)
+    probe_ids = np.array([0, 1, 2, 3, 4, 5, 0, 1, 2, 3, 4])  # 11 probes
+    probes = _unit(np.eye(d)[probe_ids] + rng.normal(0, 0.1, (11, d))
+                   ).astype(np.float32)
+
+    pooled_dev, uniq_dev = pooled_scores_device(gal, gal_ids, probes,
+                                                chunk=4)
+    pooled_host, uniq_host = _best_per_identity(probes @ gal.T, gal_ids)
+    np.testing.assert_array_equal(uniq_dev, uniq_host)
+    np.testing.assert_allclose(pooled_dev, pooled_host, atol=1e-6)
+
+    res_d = closed_set_identification(gal, gal_ids, probes, probe_ids,
+                                      ranks=(1,), device=True)
+    res_h = closed_set_identification(gal, gal_ids, probes, probe_ids,
+                                      ranks=(1,))
+    assert res_d.cmc == res_h.cmc
+
+    # open set too
+    probe_ids_o = probe_ids.copy()
+    probe_ids_o[:3] = [90, 91, 92]
+    res_do = open_set_identification(gal, gal_ids, probes, probe_ids_o,
+                                     fpirs=(0.5,), device=True)
+    res_ho = open_set_identification(gal, gal_ids, probes, probe_ids_o,
+                                     fpirs=(0.5,))
+    assert res_do.tpir_at_fpir == res_ho.tpir_at_fpir
+    assert res_do.cmc == res_ho.cmc
