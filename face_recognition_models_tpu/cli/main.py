@@ -25,6 +25,12 @@ def _add_train_parser(sub):
     p.add_argument("--head", default="arcface", choices=available_heads()
                    + ["mv_softmax_arc"],
                    help="margin head (mv_softmax_arc = MV with arc margin)")
+    p.add_argument("--head-arg", action="append", default=[], metavar="K=V",
+                   help="override one head hyperparameter (repeatable), "
+                        "e.g. --head combined_margin --head-arg m2=0.3 "
+                        "--head-arg m3=0.2, or --head subcenter_arcface "
+                        "--head-arg k=3; values take the config field's "
+                        "type (config.py HEAD_CONFIGS)")
     p.add_argument("--backbone", "-bb", default="resnet18",
                    choices=sorted(BACKBONES))
     p.add_argument("--batch_size", "-bs", type=int, default=512)
@@ -125,8 +131,8 @@ def cmd_train(args) -> int:
     head_kw = {}
     if head == "mv_softmax_arc":
         head, head_kw = "mv_softmax", {"margin_type": "arc"}
-
     model_name = f"{head}{'_arc' if head_kw else ''}"
+    head_kw.update(cfg_lib.parse_head_overrides(head, args.head_arg))
     cfg = cfg_lib.TrainConfig(
         backbone=args.backbone, head=head, num_classes=args.num_classes,
         batch_size=args.batch_size, epochs=args.epochs,

@@ -190,6 +190,39 @@ class QAFaceConfig(HeadConfig):
     eps: float = 1e-7       # criterion.py:1492
 
 
+@dataclasses.dataclass(frozen=True)
+class CombinedMarginConfig(HeadConfig):
+    """Unified margin cos(m1*theta + m2) - m3 (insightface's combined-margin
+    recipe; beyond the reference, whose heads are separate classes).
+
+    (m1, m2, m3) = (1, 0.5, 0) reproduces ArcFace, (1, 0, 0.35) CosFace,
+    and m1 > 1 gives SphereFace-style multiplicative margins without the
+    annealing schedule. One production config, e.g. (1, 0.3, 0.2), blends
+    angular and cosine margins.
+    """
+
+    name: str = "combined_margin"
+    m1: float = 1.0
+    m2: float = 0.5
+    m3: float = 0.0
+    s: float = 64.0
+    eps: float = 1e-7
+
+
+@dataclasses.dataclass(frozen=True)
+class SubCenterArcFaceConfig(HeadConfig):
+    """Sub-center ArcFace (Deng et al., ECCV 2020; beyond the reference):
+    K prototype columns per class, cosine max-pooled over the K sub-centers
+    before the standard ArcFace margin — robust to intra-class label noise
+    in web-scraped training sets."""
+
+    name: str = "subcenter_arcface"
+    m: float = 0.5
+    s: float = 64.0
+    k: int = 3
+    easy_margin: bool = False
+
+
 HEAD_CONFIGS = {
     "sphereface": SphereFaceConfig,
     "cosface": CosFaceConfig,
@@ -202,6 +235,8 @@ HEAD_CONFIGS = {
     "elastic_cosface": ElasticCosFaceConfig,
     "magface": MagFaceConfig,
     "qaface": QAFaceConfig,
+    "combined_margin": CombinedMarginConfig,
+    "subcenter_arcface": SubCenterArcFaceConfig,
 }
 
 
@@ -211,6 +246,37 @@ def make_head_config(name: str, **overrides) -> HeadConfig:
         raise ValueError(
             f"Unknown head '{name}'. Available: {sorted(HEAD_CONFIGS)}")
     return HEAD_CONFIGS[key](**overrides)
+
+
+def parse_head_overrides(name: str, items) -> dict:
+    """Parse CLI 'key=value' strings into typed head-config overrides.
+
+    Values are coerced to the type of the field's default (the head
+    hyperparameters are all int/float/bool/str), so
+    `--head-arg m2=0.3 --head-arg k=3` round-trips exactly into the frozen
+    dataclass. Unknown keys raise with the head's available fields.
+    """
+    key = name.lower()
+    if key not in HEAD_CONFIGS:
+        raise ValueError(
+            f"Unknown head '{name}'. Available: {sorted(HEAD_CONFIGS)}")
+    defaults = HEAD_CONFIGS[key]()
+    # name is fixed; num_classes has its own --num-classes flag
+    editable = {f.name for f in dataclasses.fields(defaults)
+                if f.name not in ("name", "num_classes")}
+    out = {}
+    for item in items:
+        k, sep, v = item.partition("=")
+        if not sep or k not in editable:
+            raise ValueError(
+                f"--head-arg '{item}': expected key=value with key in "
+                f"{sorted(editable)}")
+        default = getattr(defaults, k)
+        if isinstance(default, bool):
+            out[k] = v.lower() in ("1", "true", "yes", "on")
+        else:
+            out[k] = type(default)(v)
+    return out
 
 
 # ---------------------------------------------------------------------------

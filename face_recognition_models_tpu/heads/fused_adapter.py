@@ -39,7 +39,8 @@ from face_recognition_models_tpu.ops.normalize import (
 MEM_FUSED_HEADS = ("vpl_arcface", "qaface")
 FUSED_HEADS = ("cosface", "arcface", "sphereface", "mv_softmax",
                "curricularface", "adaface", "elastic_cosface",
-               "elastic_arcface", "magface") + MEM_FUSED_HEADS
+               "elastic_arcface", "magface",
+               "combined_margin") + MEM_FUSED_HEADS
 
 
 def fused_supported(name: str) -> bool:
@@ -50,6 +51,8 @@ def fused_supported(name: str) -> bool:
 # hardware measurements (PERF.md): arc 1.66x, sphere 1.33x, ada 1.24x,
 # curricular 1.16x, cos 1.11x, mag 1.06x, vpl 1.40x, qaface 1.47x.
 # mv_softmax (0.92x) and the elastic heads (~0.9-1.0x) only win at larger C.
+# combined_margin is unmeasured at small C (arcface-like math, so likely a
+# win; re-measure with scripts/bench_fused_table.py before promoting it).
 _FUSED_FASTER_SMALL_C = frozenset((
     "arcface", "cosface", "curricularface", "adaface", "magface",
     "sphereface", "vpl_arcface", "qaface"))
@@ -198,6 +201,15 @@ def _row_params(cfg, tcos_raw, norms, state, rng) -> _RowParams:
             t = jnp.cos(jnp.clip(jnp.arccos(tcos) + margin, 0.0, math.pi))
         return _RowParams(t, tcos, jnp.full((n,), cfg.s), zeros2,
                           MODE_IDENTITY, eps, zero, state)
+
+    if name == "combined_margin":
+        eps = cfg.eps
+        tcos = jnp.clip(tcos_raw, -1 + eps, 1 - eps)
+        theta = jnp.arccos(tcos)
+        t = jnp.cos(jnp.clip(cfg.m1 * theta + cfg.m2, 0.0, math.pi)) - cfg.m3
+        # pre-margin logits stay unclamped (margins.py combined path)
+        return _RowParams(t, tcos_raw, jnp.full((n,), cfg.s), zeros2,
+                          MODE_IDENTITY, None, zero, state)
 
     if name == "magface":
         eps = cfg.eps

@@ -647,3 +647,83 @@ register_head(Head(
     apply=_qaface_apply,
     requires_minput=True,
 ))
+
+
+# ---------------------------------------------------------------------------
+# Combined margin (beyond the reference: insightface's unified recipe)
+# ---------------------------------------------------------------------------
+
+
+def _combined_margin_apply(cfg: cfg_lib.CombinedMarginConfig, kernel, feats,
+                           labels, state=None, rng=None, minput=None):
+    """Unified target-column margin cos(m1*theta + m2) - m3, scaled by s.
+
+    Subsumes the reference's fixed-margin family ((1, m, 0) = ArcFace
+    criterion.py:281-295 to fp32 roundoff, (1, 0, m) = CosFace :186-189 on
+    the target column) and adds the mixed production configs the reference
+    cannot express. The transformed angle is clamped to [0, pi] so the
+    margin stays monotone when m1*theta + m2 exceeds pi (the acos-free
+    ArcFace fallback `cos - m*sin(m)` handles that region in the reference;
+    insightface's combined path leaves it unguarded).
+    """
+    cos, _, norms = cosine_logits(feats, kernel)
+    one_hot = _one_hot(labels, cfg.num_classes)
+    t_cos = jnp.clip(_target_cos(cos, one_hot),
+                     -1.0 + cfg.eps, 1.0 - cfg.eps)     # [N, 1]
+    theta = jnp.arccos(t_cos)
+    phi = jnp.cos(jnp.clip(cfg.m1 * theta + cfg.m2, 0.0, math.pi)) - cfg.m3
+    logits = (one_hot * phi + (1.0 - one_hot) * cos) * cfg.s
+    return HeadOutput(cos * cfg.s, logits, norms, jnp.float32(0.0), one_hot,
+                      state)
+
+
+register_head(Head(
+    name="combined_margin",
+    init_kernel=_normal_kernel,
+    init_state=lambda cfg: None,
+    apply=_combined_margin_apply,
+))
+
+
+# ---------------------------------------------------------------------------
+# Sub-center ArcFace (beyond the reference: Deng et al., ECCV 2020)
+# ---------------------------------------------------------------------------
+
+
+def _subcenter_kernel(rng, cfg) -> jnp.ndarray:
+    """Xavier-uniform [D, C*K], class-major column layout
+    (columns [c*K, (c+1)*K) are class c's K sub-centers)."""
+    d, ck = cfg.feature_dim, cfg.num_classes * cfg.k
+    bound = math.sqrt(6.0 / (d + ck))
+    return jax.random.uniform(rng, (d, ck), _F32, -bound, bound)
+
+
+def _subcenter_arcface_apply(cfg: cfg_lib.SubCenterArcFaceConfig, kernel,
+                             feats, labels, state=None, rng=None,
+                             minput=None):
+    """ArcFace margin (criterion.py:281-295 combine) over per-class cosine
+    max-pooled across K sub-center prototypes.
+
+    The [N, C*K] cosine reshapes to [N, C, K] (class-major kernel layout)
+    and pools with max, so gradients flow only to each sample's winning
+    sub-center — the mechanism that isolates noisy/hard faces into
+    secondary sub-centers. With k=1 this IS ArcFace. Under class-TP the
+    kernel shards over the 'model' mesh axis along the C*K column axis
+    (whole classes per shard when C divides the axis size; the reshape is a
+    GSPMD-clean split of the sharded dimension).
+    """
+    cos_all, _, norms = cosine_logits(feats, kernel)    # [N, C*K]
+    n = cos_all.shape[0]
+    cos = jnp.max(cos_all.reshape(n, cfg.num_classes, cfg.k), axis=2)
+    one_hot = _one_hot(labels, cfg.num_classes)
+    logits = _arc_margin(cos, one_hot, cfg.m, cfg.easy_margin, cfg.s)
+    return HeadOutput(cos * cfg.s, logits, norms, jnp.float32(0.0), one_hot,
+                      state)
+
+
+register_head(Head(
+    name="subcenter_arcface",
+    init_kernel=_subcenter_kernel,
+    init_state=lambda cfg: None,
+    apply=_subcenter_arcface_apply,
+))

@@ -41,9 +41,11 @@ def _spec_for(path: str, leaf: Any, num_classes: int) -> P:
     if not shape:
         return P()
     # Classifier kernel [D, C] and its optimizer momenta — including the
-    # sharded Partial-FC's manually-managed momentum buffer.
+    # sharded Partial-FC's manually-managed momentum buffer. Sub-center
+    # kernels are [D, C*K] (class-major columns), hence the divisibility
+    # form: whole classes stay together per shard when C divides the mesh.
     if ("kernel_w" in path or "kernel_mom" in path) \
-            and len(shape) == 2 and shape[1] == num_classes:
+            and len(shape) == 2 and shape[1] % num_classes == 0:
         return P(None, "model")
     # Head class-memories [C, D] and lifetimes [C].
     if ("head_state" in path or "kernel_w" in path) and shape[0] == num_classes:

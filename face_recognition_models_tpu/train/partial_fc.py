@@ -50,7 +50,7 @@ from face_recognition_models_tpu.train.state import TrainState
 
 _NEG_INF = jnp.float32(-1e30)
 
-UNSUPPORTED_HEADS = ("vpl_arcface", "qaface")
+UNSUPPORTED_HEADS = ("vpl_arcface", "qaface", "subcenter_arcface")
 
 
 def num_sampled_classes(num_classes: int, sample_ratio: float,
@@ -162,8 +162,10 @@ def make_partial_fc_train_step(
     """
     if head.name in UNSUPPORTED_HEADS:
         raise ValueError(
-            f"partial_fc does not support memory-blended head '{head.name}' "
-            "(per-class [C, D] memories need the full class axis)")
+            f"partial_fc does not support head '{head.name}' "
+            "(memory-blended heads need the full class axis for their "
+            "[C, D] memories; sub-center kernels are [D, C*K], not one "
+            "column per class)")
     cfg_s = dataclasses.replace(head_cfg, num_classes=num_sampled)
 
     def lr_at(step):

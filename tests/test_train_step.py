@@ -59,7 +59,9 @@ def _init(head_name="arcface", lr=0.1, **head_kw):
 @pytest.mark.parametrize("head_name", ["arcface", "cosface", "magface",
                                        "curricularface", "adaface",
                                        "elastic_arcface", "vpl_arcface",
-                                       "qaface", "sphereface", "mv_softmax"])
+                                       "qaface", "sphereface", "mv_softmax",
+                                       "combined_margin",
+                                       "subcenter_arcface"])
 def test_loss_decreases(head_name):
     backbone, head, head_cfg, tx, state = _init(head_name, lr=0.05)
     lambda_g = 0.1 if head_name == "magface" else 0.0
