@@ -51,11 +51,13 @@ def fused_supported(name: str) -> bool:
 # hardware measurements (PERF.md): arc 1.66x, sphere 1.33x, ada 1.24x,
 # curricular 1.16x, cos 1.11x, mag 1.06x, vpl 1.40x, qaface 1.47x.
 # mv_softmax (0.92x) and the elastic heads (~0.9-1.0x) only win at larger C.
-# combined_margin is unmeasured at small C (arcface-like math, so likely a
-# win; re-measure with scripts/bench_fused_table.py before promoting it).
+# combined_margin measured round 3 (scripts/bench_fused_table.py, v5e):
+# fused 3.20 ms vs jnp 3.59 ms at C=10,575 (1.12x); parity at C=131k
+# (12.7 vs 12.6 ms) where the >= _BIG_C rule keeps fused for its O(N)
+# activation memory.
 _FUSED_FASTER_SMALL_C = frozenset((
     "arcface", "cosface", "curricularface", "adaface", "magface",
-    "sphereface", "vpl_arcface", "qaface"))
+    "sphereface", "vpl_arcface", "qaface", "combined_margin"))
 # Above this class count the fused path wins for every head — and XLA's
 # multiple [N, C] fp32 buffers start to dominate memory (256 MB each at
 # C=131k), so the O(N) kernel is strictly better.

@@ -148,6 +148,46 @@ def test_head_arg_cli_overrides():
         cfg_lib.parse_head_overrides("arcface", ["num_classes=7"])
 
 
+def test_subcenter_sharded_train_step_matches_single_device():
+    """Class-TP with a [D, C*K] kernel: the reshape-to-[N, C, K] max-pool
+    must be GSPMD-clean (whole classes per shard) and numerically match
+    the single-device step."""
+    import jax
+    from face_recognition_models_tpu.parallel import (
+        batch_sharding, make_mesh, train_state_shardings)
+    from tests.test_train_step import _init, _synthetic_batch
+
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    from face_recognition_models_tpu.train import make_train_step
+    mesh = make_mesh(cfg_lib.MeshConfig(data=4, model=2))
+    backbone, head, head_cfg, tx, state = _init("subcenter_arcface", k=3)
+
+    c = head_cfg.num_classes
+    shardings = train_state_shardings(mesh, state, num_classes=c)
+    assert (shardings.params["kernel_w"].spec
+            == jax.sharding.PartitionSpec(None, "model"))
+
+    data_s = batch_sharding(mesh)
+    state_sh = jax.device_put(state, shardings)
+    step = jax.jit(make_train_step(backbone, head, head_cfg, tx),
+                   in_shardings=(shardings, data_s, data_s),
+                   out_shardings=(shardings, None))
+    images, labels = _synthetic_batch(jax.random.PRNGKey(2))
+    losses = []
+    for _ in range(3):
+        state_sh, metrics = step(state_sh, jax.device_put(images, data_s),
+                                 jax.device_put(labels, data_s))
+        losses.append(float(metrics["loss"]))
+
+    backbone2, head2, head_cfg2, tx2, state2 = _init("subcenter_arcface",
+                                                     k=3)
+    step2 = jax.jit(make_train_step(backbone2, head2, head_cfg2, tx2))
+    for _ in range(3):
+        state2, metrics2 = step2(state2, images, labels)
+    np.testing.assert_allclose(losses[-1], float(metrics2["loss"]),
+                               rtol=1e-4)
+
+
 def test_partial_fc_rejects_subcenter_supports_combined():
     import optax
     from face_recognition_models_tpu.train.partial_fc import (
