@@ -565,6 +565,10 @@ def _add_identify_parser(sub):
     p.add_argument("--device", action="store_true",
                    help="score probe-gallery cosines on the accelerator "
                         "(million-image galleries; same numbers)")
+    p.add_argument("--min-quality", type=float, default=0.0,
+                   help="drop gallery/probe images whose MagFace-norm "
+                        "quality score (stored by `face embed`) is below "
+                        "this [0, 1] threshold")
     return p
 
 
@@ -575,7 +579,7 @@ def cmd_identify(args) -> int:
         args.gallery, args.probes,
         ranks=tuple(int(r) for r in args.ranks.split(",") if r),
         fpirs=tuple(float(f) for f in args.fpir.split(",") if f),
-        device=args.device)
+        device=args.device, min_quality=args.min_quality)
     print(res)
     return 0
 

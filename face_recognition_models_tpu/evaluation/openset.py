@@ -230,20 +230,44 @@ def _ids_from_paths(paths: np.ndarray) -> np.ndarray:
                        for p in paths])
 
 
+def _quality_gate(npz, emb: np.ndarray, ids: np.ndarray,
+                  min_quality: float, which: str
+                  ) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop rows whose MagFace-norm quality (`face embed`'s `quality`
+    field, serving/embed.py:norm_quality) falls below min_quality."""
+    if "quality" not in npz:
+        raise ValueError(
+            f"--min-quality given but {which} npz has no 'quality' field; "
+            "re-run `face embed` (older outputs lack per-image quality)")
+    keep = np.asarray(npz["quality"]) >= min_quality
+    if not keep.any():
+        raise ValueError(
+            f"min_quality={min_quality} removes every {which} image")
+    return emb[keep], ids[keep]
+
+
 def identify_from_npz(gallery_npz: str, probes_npz: str,
                       ranks: Sequence[int] = (1, 5),
                       fpirs: Sequence[float] = (1e-1, 1e-2),
                       device: bool = False,
+                      min_quality: float = 0.0,
                       ) -> IdentificationResult:
     """1:N identification over two `face embed` outputs (.npz with
     `embeddings` [N, D] L2-normalized + `paths`). Identities come from
     each path's parent directory. Runs the closed-set protocol when every
     probe identity exists in the gallery, the open-set protocol otherwise.
-    device=True runs the probe-gallery scoring on the accelerator."""
+    device=True runs the probe-gallery scoring on the accelerator.
+    min_quality > 0 gates both sides on the stored MagFace-norm quality
+    score (low-quality faces dominate the false-match tail)."""
     g = np.load(gallery_npz, allow_pickle=False)
     p = np.load(probes_npz, allow_pickle=False)
     g_emb, g_ids = g["embeddings"], _ids_from_paths(g["paths"])
     p_emb, p_ids = p["embeddings"], _ids_from_paths(p["paths"])
+    if min_quality > 0.0:
+        g_emb, g_ids = _quality_gate(g, g_emb, g_ids, min_quality,
+                                     "gallery")
+        p_emb, p_ids = _quality_gate(p, p_emb, p_ids, min_quality,
+                                     "probes")
     if set(p_ids.tolist()) <= set(g_ids.tolist()):
         return closed_set_identification(g_emb, g_ids, p_emb, p_ids, ranks,
                                          device=device)

@@ -3,7 +3,10 @@ from face_recognition_models_tpu.serving.export import (
     export_embedder,
     load_embedder,
 )
-from face_recognition_models_tpu.serving.embed import embed_directory
+from face_recognition_models_tpu.serving.embed import (
+    embed_directory,
+    norm_quality,
+)
 
 __all__ = ["EmbedderArtifact", "export_embedder", "load_embedder",
-           "embed_directory"]
+           "embed_directory", "norm_quality"]

@@ -4,8 +4,16 @@
 the threaded Loader (native libjpeg decode, uint8 transfer) feeds either a
 serving artifact (`--model embedder.frte`) or a checkpointed backbone, and
 the L2-normalized embeddings land in an .npz (embeddings [N, D] fp32 +
-relative paths). The reference has no equivalent (its embeddings only ever
-exist inside the eval loop).
+relative paths + per-image `norms`/`quality`). The reference has no
+equivalent (its embeddings only ever exist inside the eval loop).
+
+Per-image quality: the PRE-normalization embedding norm is a learned
+quality signal for margin-trained backbones — MagFace trains the norm to
+grow with face quality and maps it linearly over [l_a=10, u_a=110]
+(reference criterion.py:1229-1232); AdaFace uses the same norm as its
+quality proxy (criterion.py:876-885). `norm_quality` exposes that map as
+a [0, 1] score so downstream 1:N identification can gate low-quality
+probes/gallery images (`face identify --min-quality`).
 """
 
 from __future__ import annotations
@@ -41,12 +49,27 @@ class _FlatIndex:
         return len(self.rels)
 
 
+def norm_quality(norms: np.ndarray, l_a: float = 10.0, u_a: float = 110.0
+                 ) -> np.ndarray:
+    """Map pre-normalization embedding norms to a [0, 1] quality score.
+
+    The linear norm->margin map MagFace trains against (reference
+    criterion.py:1229-1232: norms clamped to [l_a=10, u_a=110] then mapped
+    affinely) doubles as a quality score: 0 at/below l_a, 1 at/above u_a.
+    Meaningful for margin-trained backbones (MagFace by construction,
+    ArcFace/AdaFace empirically — AdaFace builds its margin on the same
+    norm proxy, criterion.py:876-885)."""
+    norms = np.asarray(norms, np.float32)
+    return np.clip((norms - l_a) / (u_a - l_a), 0.0, 1.0)
+
+
 def embed_directory(embed_fn: Callable, root: str, image_size: int,
                     batch_size: int = 256, num_workers: int = 8,
                     l2_normalize: bool = True
-                    ) -> Tuple[np.ndarray, list]:
+                    ) -> Tuple[np.ndarray, list, np.ndarray]:
     """Embed every image under `root` (any nesting). Returns
-    (embeddings [N, D] fp32, relative paths). Order matches paths.
+    (embeddings [N, D] fp32, relative paths, pre-normalization norms [N]).
+    Order matches paths.
 
     The last batch is padded (static device shapes) by repeating the final
     image; padding rows are dropped from the result."""
@@ -66,9 +89,10 @@ def embed_directory(embed_fn: Callable, root: str, image_size: int,
         chunks.append(np.asarray(embed_fn(images), np.float32))
     emb = np.concatenate(chunks, axis=0)[:n]
     paths = index.rels[:n]
+    norms = np.linalg.norm(emb, axis=1)
     if l2_normalize:
-        emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-    return emb, list(paths)
+        emb /= np.maximum(norms[:, None], 1e-12)
+    return emb, list(paths), norms
 
 
 def run_embed_cli(input_dir: str, output: str,
@@ -105,9 +129,13 @@ def run_embed_cli(input_dir: str, output: str,
         print("error: provide --model or --checkpoint-dir")
         return 2
 
-    emb, paths = embed_directory(embed_fn, input_dir, image_size,
-                                 batch_size, num_workers)
-    np.savez(output, embeddings=emb, paths=np.asarray(paths))
+    emb, paths, norms = embed_directory(embed_fn, input_dir, image_size,
+                                        batch_size, num_workers)
+    quality = norm_quality(norms)
+    np.savez(output, embeddings=emb, paths=np.asarray(paths),
+             norms=norms, quality=quality)
     print(f"embedded {len(paths)} images -> {output} "
-          f"({emb.shape[1]}-d, L2-normalized)")
+          f"({emb.shape[1]}-d, L2-normalized; "
+          f"quality mean {quality.mean():.3f}, "
+          f"min {quality.min():.3f} [MagFace norm map])")
     return 0

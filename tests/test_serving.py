@@ -86,19 +86,81 @@ def test_embed_directory_order_and_padding(tmp_path, tiny_model):
     embed_fn = lambda im: eval_step(variables["params"],
                                     variables.get("batch_stats", {}), im)
     # batch 2 over 5 images: padding + remainder path
-    emb, paths = embed_directory(embed_fn, str(tmp_path / "imgs"),
-                                 image_size=32, batch_size=2, num_workers=2)
+    emb, paths, norms = embed_directory(embed_fn, str(tmp_path / "imgs"),
+                                        image_size=32, batch_size=2,
+                                        num_workers=2)
     assert paths == sorted(paths) and len(paths) == 5
-    assert emb.shape == (5, 16)
+    assert emb.shape == (5, 16) and norms.shape == (5,)
     np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, rtol=1e-5)
 
-    # order is content-correct: re-embed one file directly and compare
+    # order is content-correct: re-embed one file directly and compare;
+    # the returned norm is that image's pre-normalization norm
     from face_recognition_models_tpu.data.pipeline import _decode_image
     i = paths.index("c.jpg")
     one = _decode_image(str(tmp_path / "imgs" / "c.jpg"), 32)[None]
     ref = np.array(embed_fn(one), np.float32)
+    np.testing.assert_allclose(norms[i], np.linalg.norm(ref), rtol=1e-4)
     ref /= np.linalg.norm(ref)
     np.testing.assert_allclose(emb[i], ref[0], rtol=1e-4, atol=1e-5)
+
+
+def test_norm_quality_magface_map():
+    """Quality is the reference's norm->margin affine map rescaled to
+    [0, 1] (criterion.py:1229-1232: clamp to [l_a, u_a], then linear)."""
+    from face_recognition_models_tpu.serving import norm_quality
+
+    norms = np.array([0.0, 10.0, 60.0, 110.0, 500.0])
+    q = norm_quality(norms)
+    np.testing.assert_allclose(q, [0.0, 0.0, 0.5, 1.0, 1.0])
+    # monotone in the norm
+    rs = np.random.RandomState(0)
+    n = np.sort(rs.uniform(0, 200, 64))
+    assert (np.diff(norm_quality(n)) >= 0).all()
+
+
+def test_identify_min_quality_gate(tmp_path):
+    """--min-quality drops low-quality rows before 1:N scoring; missing
+    quality fields fail loudly."""
+    from face_recognition_models_tpu.evaluation.openset import (
+        identify_from_npz)
+
+    rs = np.random.RandomState(0)
+    protos = rs.randn(3, 16).astype(np.float32)
+    protos /= np.linalg.norm(protos, axis=1, keepdims=True)
+
+    def noisy(c, scale):
+        v = protos[c] + rs.randn(16).astype(np.float32) * scale
+        return v / np.linalg.norm(v)
+
+    # gallery: one clean image per identity
+    g_emb = np.stack([noisy(c, 0.05) for c in range(3)])
+    g_paths = np.array([f"id{c}/g.jpg" for c in range(3)])
+    # probes: one clean (high quality) + one junk (low quality) per id;
+    # junk probes are noise-dominated and would break rank-1
+    p_emb = np.stack([noisy(c, 0.05) for c in range(3)]
+                     + [noisy((c + 1) % 3, 0.05) for c in range(3)])
+    p_paths = np.array([f"id{c}/clean.jpg" for c in range(3)]
+                       + [f"id{c}/junk.jpg" for c in range(3)])
+    p_quality = np.array([0.9, 0.9, 0.9, 0.1, 0.1, 0.1], np.float32)
+
+    gal = str(tmp_path / "g.npz")
+    prb = str(tmp_path / "p.npz")
+    np.savez(gal, embeddings=g_emb, paths=g_paths,
+             quality=np.full(3, 0.8, np.float32))
+    np.savez(prb, embeddings=p_emb, paths=p_paths, quality=p_quality)
+
+    full = identify_from_npz(gal, prb, ranks=(1,))
+    gated = identify_from_npz(gal, prb, ranks=(1,), min_quality=0.5)
+    assert gated.cmc[1] == 100.0 > full.cmc[1]
+
+    # every row gated away -> loud error
+    with pytest.raises(ValueError, match="removes every"):
+        identify_from_npz(gal, prb, ranks=(1,), min_quality=0.95)
+
+    # npz without a quality field -> loud error
+    np.savez(gal, embeddings=g_emb, paths=g_paths)
+    with pytest.raises(ValueError, match="no 'quality' field"):
+        identify_from_npz(gal, prb, ranks=(1,), min_quality=0.5)
 
 
 @pytest.mark.slow
