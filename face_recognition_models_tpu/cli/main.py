@@ -534,6 +534,10 @@ def _add_embed_parser(sub):
                    help="serving artifact from `face export`")
     p.add_argument("--checkpoint-dir", default=None,
                    help="alternatively: a training checkpoint dir")
+    p.add_argument("--which", default="final",
+                   choices=["final", "final_ema", "min_loss"],
+                   help="which checkpoint artifact to embed with "
+                        "(same semantics as `face eval --which`)")
     p.add_argument("--backbone", default="resnet50")
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
     p.add_argument("--batch-size", type=int, default=256)
@@ -546,8 +550,8 @@ def cmd_embed(args) -> int:
     return run_embed_cli(
         input_dir=args.input, output=args.output, model_path=args.model,
         checkpoint_dir=args.checkpoint_dir, backbone=args.backbone,
-        image_size=args.image_size, batch_size=args.batch_size,
-        num_workers=args.num_workers)
+        which=args.which, image_size=args.image_size,
+        batch_size=args.batch_size, num_workers=args.num_workers)
 
 
 def _add_identify_parser(sub):
