@@ -573,6 +573,15 @@ def _add_identify_parser(sub):
                    help="drop gallery/probe images whose MagFace-norm "
                         "quality score (stored by `face embed`) is below "
                         "this [0, 1] threshold")
+    p.add_argument("--pool", default="none",
+                   choices=["none", "probes", "gallery", "both"],
+                   help="IJB-style template pooling: collapse each "
+                        "identity's images to one renormalized mean "
+                        "embedding before scoring")
+    p.add_argument("--pool-weight", default="none",
+                   choices=["none", "quality"],
+                   help="weight the pooled mean by the stored per-image "
+                        "quality scores")
     return p
 
 
@@ -583,7 +592,8 @@ def cmd_identify(args) -> int:
         args.gallery, args.probes,
         ranks=tuple(int(r) for r in args.ranks.split(",") if r),
         fpirs=tuple(float(f) for f in args.fpir.split(",") if f),
-        device=args.device, min_quality=args.min_quality)
+        device=args.device, min_quality=args.min_quality,
+        pool=args.pool, pool_weight=args.pool_weight)
     print(res)
     return 0
 

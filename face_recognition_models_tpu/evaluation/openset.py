@@ -21,7 +21,7 @@ matmul. Scores are cosines in [-1, 1] throughout.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -222,6 +222,27 @@ def open_set_identification(gallery_emb: np.ndarray,
                                 thresholds=thresholds)
 
 
+def pool_templates(emb: np.ndarray, ids: np.ndarray,
+                   weights: Optional[np.ndarray] = None
+                   ) -> Tuple[np.ndarray, np.ndarray]:
+    """IJB-style template pooling: every image of an identity collapses to
+    ONE L2-normalized embedding — the (weighted) sum of the per-image
+    L2-normalized embeddings, renormalized. `weights` (e.g. the MagFace
+    quality scores `face embed` stores, serving/embed.py:norm_quality)
+    emphasize high-quality faces; the renormalization makes the sum a
+    weighted mean. Vectorized via sort + add.reduceat (no per-identity
+    Python loop). Returns (pooled [U, D], unique_ids [U])."""
+    ids = np.asarray(ids)
+    order = np.argsort(ids, kind="stable")
+    uniq, starts = np.unique(ids[order], return_index=True)
+    e = np.asarray(emb, np.float32)[order]
+    if weights is not None:
+        e = e * np.asarray(weights, np.float32)[order][:, None]
+    summed = np.add.reduceat(e, starts, axis=0)
+    norms = np.linalg.norm(summed, axis=1, keepdims=True)
+    return summed / np.maximum(norms, 1e-12), uniq
+
+
 def _ids_from_paths(paths: np.ndarray) -> np.ndarray:
     """Identity label = parent directory name (the identity-folder layout
     the reference's datasets use, dataset.py:93)."""
@@ -251,6 +272,8 @@ def identify_from_npz(gallery_npz: str, probes_npz: str,
                       fpirs: Sequence[float] = (1e-1, 1e-2),
                       device: bool = False,
                       min_quality: float = 0.0,
+                      pool: str = "none",
+                      pool_weight: str = "none",
                       ) -> IdentificationResult:
     """1:N identification over two `face embed` outputs (.npz with
     `embeddings` [N, D] L2-normalized + `paths`). Identities come from
@@ -258,16 +281,42 @@ def identify_from_npz(gallery_npz: str, probes_npz: str,
     probe identity exists in the gallery, the open-set protocol otherwise.
     device=True runs the probe-gallery scoring on the accelerator.
     min_quality > 0 gates both sides on the stored MagFace-norm quality
-    score (low-quality faces dominate the false-match tail)."""
+    score (low-quality faces dominate the false-match tail).
+    pool in {none, probes, gallery, both}: collapse each identity's images
+    to one template embedding (pool_templates); pool_weight="quality"
+    weights the pooled mean by the stored quality scores."""
     g = np.load(gallery_npz, allow_pickle=False)
     p = np.load(probes_npz, allow_pickle=False)
     g_emb, g_ids = g["embeddings"], _ids_from_paths(g["paths"])
     p_emb, p_ids = p["embeddings"], _ids_from_paths(p["paths"])
+    g_q = g["quality"] if "quality" in g else None
+    p_q = p["quality"] if "quality" in p else None
     if min_quality > 0.0:
-        g_emb, g_ids = _quality_gate(g, g_emb, g_ids, min_quality,
-                                     "gallery")
-        p_emb, p_ids = _quality_gate(p, p_emb, p_ids, min_quality,
-                                     "probes")
+        g_keep = _quality_gate(g, g_emb, g_ids, min_quality, "gallery")
+        p_keep = _quality_gate(p, p_emb, p_ids, min_quality, "probes")
+        (g_emb, g_ids), (p_emb, p_ids) = g_keep, p_keep
+        g_q = g_q[np.asarray(g["quality"]) >= min_quality]
+        p_q = p_q[np.asarray(p["quality"]) >= min_quality]
+
+    if pool not in ("none", "probes", "gallery", "both"):
+        raise ValueError(f"pool must be none/probes/gallery/both: {pool!r}")
+    if pool_weight not in ("none", "quality"):
+        raise ValueError(f"pool_weight must be none/quality: {pool_weight!r}")
+    if pool != "none":
+        def weights(q, which):
+            if pool_weight != "quality":
+                return None
+            if q is None:
+                raise ValueError(
+                    f"pool_weight='quality' but {which} npz has no "
+                    "'quality' field; re-run `face embed`")
+            return q
+        if pool in ("gallery", "both"):
+            g_emb, g_ids = pool_templates(g_emb, g_ids,
+                                          weights(g_q, "gallery"))
+        if pool in ("probes", "both"):
+            p_emb, p_ids = pool_templates(p_emb, p_ids,
+                                          weights(p_q, "probes"))
     if set(p_ids.tolist()) <= set(g_ids.tolist()):
         return closed_set_identification(g_emb, g_ids, p_emb, p_ids, ranks,
                                          device=device)

@@ -217,3 +217,106 @@ def test_device_scoring_matches_host():
                                      fpirs=(0.5,))
     assert res_do.tpir_at_fpir == res_ho.tpir_at_fpir
     assert res_do.cmc == res_ho.cmc
+
+
+def test_pool_templates_oracle():
+    """Pooling matches the per-identity loop; output is L2-normalized;
+    quality weights tilt the template toward high-quality images."""
+    from face_recognition_models_tpu.evaluation.openset import (
+        pool_templates,
+    )
+
+    rng = np.random.default_rng(7)
+    ids = np.array(["b", "a", "b", "c", "a", "b"])
+    emb = _unit(rng.normal(size=(6, 8))).astype(np.float32)
+    w = rng.uniform(0.1, 1.0, 6).astype(np.float32)
+
+    pooled, uniq = pool_templates(emb, ids, w)
+    assert list(uniq) == ["a", "b", "c"]
+    np.testing.assert_allclose(np.linalg.norm(pooled, axis=1), 1.0,
+                               rtol=1e-6)
+    for k, ident in enumerate(uniq):
+        rows = ids == ident
+        ref = (emb[rows] * w[rows][:, None]).sum(axis=0)
+        ref /= np.linalg.norm(ref)
+        np.testing.assert_allclose(pooled[k], ref, rtol=1e-5, atol=1e-6)
+
+    # unweighted: same as weights of ones
+    p0, _ = pool_templates(emb, ids)
+    p1, _ = pool_templates(emb, ids, np.ones(6, np.float32))
+    np.testing.assert_allclose(p0, p1, rtol=1e-6)
+
+
+def test_identify_quality_weighted_pooling(tmp_path):
+    """A junk image inside each probe template drags the unweighted mean
+    off the identity axis; quality weighting recovers rank-1."""
+    from face_recognition_models_tpu.evaluation.openset import (
+        identify_from_npz,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 16
+    protos = _unit(rng.normal(size=(4, d))).astype(np.float32)
+    gal_paths = np.array([f"g/id{c}/0.jpg" for c in range(4)])
+
+    # per identity: 2 clean probe images + 2 pointing at the NEXT identity
+    p_emb, p_paths, p_q = [], [], []
+    for c in range(4):
+        for n in range(2):
+            p_emb.append(_unit(protos[c] + rng.normal(0, 0.05, d)))
+            p_q.append(0.9)
+            p_paths.append(f"p/id{c}/clean{n}.jpg")
+        for n in range(2):
+            p_emb.append(_unit(protos[(c + 1) % 4] + rng.normal(0, 0.05, d)))
+            p_q.append(0.01)
+            p_paths.append(f"p/id{c}/junk{n}.jpg")
+    g_npz, p_npz = str(tmp_path / "g.npz"), str(tmp_path / "p.npz")
+    np.savez(g_npz, embeddings=protos, paths=gal_paths)
+    np.savez(p_npz, embeddings=np.asarray(p_emb, np.float32),
+             paths=np.asarray(p_paths),
+             quality=np.asarray(p_q, np.float32))
+
+    plain = identify_from_npz(g_npz, p_npz, ranks=(1,), pool="probes")
+    weighted = identify_from_npz(g_npz, p_npz, ranks=(1,), pool="probes",
+                                 pool_weight="quality")
+    assert weighted.cmc[1] == 100.0 > plain.cmc[1]
+
+    # quality weighting without stored quality fails loudly
+    np.savez(p_npz, embeddings=np.asarray(p_emb, np.float32),
+             paths=np.asarray(p_paths))
+    with pytest.raises(ValueError, match="no 'quality' field"):
+        identify_from_npz(g_npz, p_npz, ranks=(1,), pool="probes",
+                          pool_weight="quality")
+
+
+def test_identify_pool_gallery_and_min_quality_compose(tmp_path):
+    """Gallery pooling collapses multi-image identities; composing with
+    --min-quality gates rows before pooling."""
+    from face_recognition_models_tpu.evaluation.openset import (
+        identify_from_npz,
+    )
+
+    rng = np.random.default_rng(13)
+    d = 16
+    protos = _unit(rng.normal(size=(3, d))).astype(np.float32)
+    g_emb, g_paths, g_q = [], [], []
+    for c in range(3):
+        g_emb.append(_unit(protos[c] + rng.normal(0, 0.05, d)))
+        g_q.append(0.9)
+        g_paths.append(f"g/id{c}/clean.jpg")
+        g_emb.append(_unit(rng.normal(size=d)))  # junk gallery image
+        g_q.append(0.05)
+        g_paths.append(f"g/id{c}/junk.jpg")
+    p_emb = np.stack([_unit(protos[c] + rng.normal(0, 0.05, d))
+                      for c in range(3)]).astype(np.float32)
+    p_paths = np.array([f"p/id{c}/0.jpg" for c in range(3)])
+
+    g_npz, p_npz = str(tmp_path / "g.npz"), str(tmp_path / "p.npz")
+    np.savez(g_npz, embeddings=np.asarray(g_emb, np.float32),
+             paths=np.asarray(g_paths), quality=np.asarray(g_q, np.float32))
+    np.savez(p_npz, embeddings=p_emb, paths=p_paths,
+             quality=np.full(3, 0.9, np.float32))
+
+    res = identify_from_npz(g_npz, p_npz, ranks=(1,), pool="gallery",
+                            min_quality=0.5)
+    assert res.cmc[1] == 100.0
