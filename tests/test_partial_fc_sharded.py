@@ -199,3 +199,48 @@ def test_fit_dispatches_sharded_partial_fc():
         data=cfg_lib.DataConfig(image_size=24))
     result = fit(cfg, loader, use_mesh=True)
     assert np.isfinite(result.min_train_loss)
+
+
+@pytest.mark.slow
+def test_sharded_pfc_checkpoint_resume(tmp_path):
+    """Preemption recovery at scale: a model-sharded Partial-FC fit()
+    checkpoints, and the resumed run re-shards the restored kernel and
+    momentum over the mesh (loop.py device_puts restored state onto the
+    train-state shardings) and keeps training from the saved step."""
+    from face_recognition_models_tpu.checkpoint import CheckpointManager
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities)
+    from face_recognition_models_tpu.train.loop import fit
+
+    C, BS = 256, 16
+    images, labels = synthetic_identities(C, 2, image_size=32, seed=0,
+                                          noise=10.0)
+    loader = ArrayLoader(images, labels, batch_size=BS, seed=0)
+
+    def cfg(epochs, resume=None):
+        return cfg_lib.TrainConfig(
+            backbone="resnet18", head="arcface", num_classes=C,
+            batch_size=BS, epochs=epochs, seed=0, partial_fc=0.5,
+            continue_train=resume, print_freq=1000,
+            mesh=cfg_lib.MeshConfig(data=4, model=2),
+            data=cfg_lib.DataConfig(image_size=32),
+            optimizer=cfg_lib.OptimizerConfig(learning_rate=0.05))
+
+    mgr = CheckpointManager(str(tmp_path / "ck"), "arcface")
+    r1 = fit(cfg(1), loader, checkpoint_manager=mgr, use_mesh=True)
+    k1 = np.asarray(r1.state.params["kernel_w"])
+
+    r2 = fit(cfg(1, resume="latest"), loader, checkpoint_manager=mgr,
+             use_mesh=True)
+    # resumed from the saved step, not from scratch
+    steps = loader.steps_per_epoch()
+    assert int(jax.tree.leaves(r2.state.step)[0]) == 2 * steps
+    # restored arrays live on the mesh with the class axis model-sharded
+    kspec = r2.state.params["kernel_w"].sharding.spec
+    assert kspec in (P(None, "model"), P("model",))  # [D,C] or [C,D] layout
+    # training continued from the epoch-1 kernel: the resumed run's kernel
+    # differs from it (it trained) but not by a re-initialization
+    k2 = np.asarray(r2.state.params["kernel_w"])
+    assert not np.allclose(k1, k2)
+    assert np.linalg.norm(k2 - k1) < np.linalg.norm(k1)
