@@ -58,6 +58,13 @@ def _add_train_parser(sub):
     p.add_argument("--flip", action="store_true",
                    help="random horizontal flip (on-device; the reference "
                         "ships this commented out, model_utils.py:540)")
+    p.add_argument("--crop-pad", type=int, default=0,
+                   help="on-device random shift-crop: reflect-pad by N "
+                        "pixels, crop back at a random offset")
+    p.add_argument("--color-jitter", type=float, default=0.0,
+                   help="on-device brightness/contrast jitter strength")
+    p.add_argument("--random-erasing", type=float, default=0.0,
+                   help="on-device Random Erasing probability per sample")
     p.add_argument("--lambda_g", type=float, default=0.0,
                    help="Magnitude loss weight (MagFace)")
     p.add_argument("--print_freq", type=int, default=100)
@@ -160,7 +167,10 @@ def cmd_train(args) -> int:
         data=cfg_lib.DataConfig(dataset_path=args.dataset_path,
                                 image_size=args.image_size,
                                 num_workers=args.num_workers,
-                                horizontal_flip=args.flip),
+                                horizontal_flip=args.flip,
+                                crop_pad=args.crop_pad,
+                                color_jitter=args.color_jitter,
+                                random_erasing=args.random_erasing),
     )
 
     # --- data ---

@@ -346,6 +346,11 @@ class DataConfig:
     mean: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     std: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     horizontal_flip: bool = False
+    # Beyond-reference on-device augmentations (ops/image_ops.py
+    # apply_augmentations); all no-ops at their defaults.
+    crop_pad: int = 0          # random shift-crop padding, pixels
+    color_jitter: float = 0.0  # brightness/contrast jitter strength
+    random_erasing: float = 0.0  # per-sample erasing probability
     num_workers: int = 8
     drop_remainder: bool = True
     shuffle_seed: int = 0

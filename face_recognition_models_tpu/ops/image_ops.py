@@ -47,3 +47,95 @@ def center_crop_resize(images: jnp.ndarray, out_size: int) -> jnp.ndarray:
         return cropped
     return jax.image.resize(cropped.astype(jnp.float32),
                             (n, out_size, out_size, c), method="bilinear")
+
+
+def random_shift_crop(rng: jax.Array, images: jnp.ndarray,
+                      pad: int) -> jnp.ndarray:
+    """Per-sample random translation: reflect-pad by `pad` pixels then crop
+    back to the original size at a keyed offset in [0, 2*pad]^2. Static
+    shapes (one dynamic_slice per sample under vmap); the cheap on-device
+    stand-in for torchvision's RandomCrop(padding=pad)."""
+    if pad <= 0:
+        return images
+    n, h, w, c = images.shape
+    padded = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     mode="reflect")
+    ky, kx = jax.random.split(rng)
+    ys = jax.random.randint(ky, (n,), 0, 2 * pad + 1)
+    xs = jax.random.randint(kx, (n,), 0, 2 * pad + 1)
+
+    def crop(img, y, x):
+        return jax.lax.dynamic_slice(img, (y, x, 0), (h, w, c))
+
+    return jax.vmap(crop)(padded, ys, xs)
+
+
+def random_color_jitter(rng: jax.Array, images: jnp.ndarray,
+                        strength: float) -> jnp.ndarray:
+    """Per-sample brightness/contrast jitter on NORMALIZED float images
+    (post normalize_images, so pixel 0.5 maps to 0 under the reference's
+    mean=std=0.5): brightness adds b ~ U(-s, s) in normalized units;
+    contrast scales around the per-image mean by c ~ U(1-s, 1+s)."""
+    if strength <= 0.0:
+        return images
+    n = images.shape[0]
+    kb, kc = jax.random.split(rng)
+    b = jax.random.uniform(kb, (n, 1, 1, 1), images.dtype,
+                           -strength, strength)
+    c = jax.random.uniform(kc, (n, 1, 1, 1), images.dtype,
+                           1.0 - strength, 1.0 + strength)
+    mean = images.mean(axis=(1, 2, 3), keepdims=True)
+    return (images - mean) * c + mean + b
+
+
+def random_erasing(rng: jax.Array, images: jnp.ndarray, p: float,
+                   area_range: Tuple[float, float] = (0.02, 0.2),
+                   log_aspect_range: Tuple[float, float] = (-1.204, 1.204),
+                   ) -> jnp.ndarray:
+    """Random Erasing (Zhong et al. 2020): with probability p per sample,
+    zero out a rectangle of relative area ~U(area_range) and aspect ratio
+    exp(U(log_aspect_range)) (~[0.3, 3.3]). Built from broadcasted-iota
+    masks — static shapes, no data-dependent control flow; 0 is the
+    normalized mean under the reference transform."""
+    if p <= 0.0:
+        return images
+    n, h, w, _ = images.shape
+    karea, kaspect, ky, kx, kp = jax.random.split(rng, 5)
+    area = jax.random.uniform(karea, (n,), jnp.float32,
+                              area_range[0], area_range[1]) * (h * w)
+    aspect = jnp.exp(jax.random.uniform(kaspect, (n,), jnp.float32,
+                                        log_aspect_range[0],
+                                        log_aspect_range[1]))
+    eh = jnp.clip(jnp.round(jnp.sqrt(area * aspect)), 1, h)
+    ew = jnp.clip(jnp.round(jnp.sqrt(area / aspect)), 1, w)
+    y0 = (jax.random.uniform(ky, (n,)) * (h - eh + 1)).astype(jnp.int32)
+    x0 = (jax.random.uniform(kx, (n,)) * (w - ew + 1)).astype(jnp.int32)
+    live = jax.random.bernoulli(kp, p, (n,))
+
+    rows = jnp.arange(h)[None, :, None]                       # [1, H, 1]
+    cols = jnp.arange(w)[None, None, :]                       # [1, 1, W]
+    in_box = ((rows >= y0[:, None, None]) &
+              (rows < (y0 + eh.astype(jnp.int32))[:, None, None]) &
+              (cols >= x0[:, None, None]) &
+              (cols < (x0 + ew.astype(jnp.int32))[:, None, None]))
+    erase = (in_box & live[:, None, None])[..., None]         # [N, H, W, 1]
+    return jnp.where(erase, jnp.zeros((), images.dtype), images)
+
+
+def apply_augmentations(rng: jax.Array, images: jnp.ndarray,
+                        horizontal_flip: bool = False,
+                        crop_pad: int = 0,
+                        color_jitter: float = 0.0,
+                        erasing: float = 0.0) -> jnp.ndarray:
+    """The train-time augmentation chain, fused into the train step on
+    NORMALIZED float images: flip -> shift-crop -> color jitter -> random
+    erasing. All keyed from one rng; every op is a no-op at its default,
+    so the reference's no-augmentation configuration (model_utils.py:540
+    ships flip commented out) costs nothing."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    if horizontal_flip:
+        images = random_horizontal_flip(k1, images)
+    images = random_shift_crop(k2, images, crop_pad)
+    images = random_color_jitter(k3, images, color_jitter)
+    images = random_erasing(k4, images, erasing)
+    return images

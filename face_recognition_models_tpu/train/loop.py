@@ -184,6 +184,9 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             lambda_g=cfg.lambda_g, has_dropout=has_dropout,
             mean=cfg.data.mean, std=cfg.data.std,
             horizontal_flip=cfg.data.horizontal_flip,
+            crop_pad=cfg.data.crop_pad,
+            color_jitter=cfg.data.color_jitter,
+            random_erasing=cfg.data.random_erasing,
             logq_correction=getattr(cfg, "partial_fc_logq", True))
         if use_mesh and mesh.shape.get("model", 1) > 1:
             # kernel + momentum shard over 'model'; each shard samples its
@@ -204,6 +207,9 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             lr_schedule=schedule if callable(schedule) else None,
             has_dropout=has_dropout, mean=cfg.data.mean, std=cfg.data.std,
             horizontal_flip=cfg.data.horizontal_flip,
+            crop_pad=cfg.data.crop_pad,
+            color_jitter=cfg.data.color_jitter,
+            random_erasing=cfg.data.random_erasing,
             use_fused_head=cfg.use_pallas_head,
             mesh=mesh if use_mesh else None)
 

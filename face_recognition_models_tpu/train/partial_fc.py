@@ -42,7 +42,7 @@ import optax
 
 from face_recognition_models_tpu.ops.image_ops import (
     normalize_images,
-    random_horizontal_flip,
+    apply_augmentations,
 )
 from face_recognition_models_tpu.train.losses import mean_cross_entropy
 from face_recognition_models_tpu.train.metrics import topk_accuracy
@@ -135,6 +135,8 @@ def make_partial_fc_train_step(
         has_dropout: bool = False,
         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
         horizontal_flip: bool = False,
+        crop_pad: int = 0, color_jitter: float = 0.0,
+        random_erasing: float = 0.0,
         logq_correction: bool = True) -> Callable:
     """Sampled-classifier train step.
 
@@ -179,8 +181,9 @@ def make_partial_fc_train_step(
             jax.random.split(state.rng, 5))
         if images.dtype == jnp.uint8:
             images = normalize_images(images, mean, std)
-        if horizontal_flip:
-            images = random_horizontal_flip(flip_rng, images)
+        images = apply_augmentations(
+            flip_rng, images, horizontal_flip, crop_pad, color_jitter,
+            random_erasing)
 
         kernel = state.params["kernel_w"]
         num_classes = kernel.shape[1]

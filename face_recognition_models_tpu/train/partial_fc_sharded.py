@@ -54,7 +54,7 @@ from face_recognition_models_tpu.ops.normalize import (
 )
 from face_recognition_models_tpu.ops.image_ops import (
     normalize_images,
-    random_horizontal_flip,
+    apply_augmentations,
 )
 from face_recognition_models_tpu.train.state import TrainState
 
@@ -105,6 +105,8 @@ def make_sharded_partial_fc_train_step(
         has_dropout: bool = False,
         mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
         horizontal_flip: bool = False,
+        crop_pad: int = 0, color_jitter: float = 0.0,
+        random_erasing: float = 0.0,
         logq_correction: bool = True,
         data_axis: str = "data", model_axis: str = "model") -> Callable:
     """Sampled-classifier step with the kernel sharded over `model_axis`.
@@ -182,8 +184,9 @@ def make_sharded_partial_fc_train_step(
             jax.random.split(state.rng, 5))
         if images.dtype == jnp.uint8:
             images = normalize_images(images, mean, std)
-        if horizontal_flip:
-            images = random_horizontal_flip(flip_rng, images)
+        images = apply_augmentations(
+            flip_rng, images, horizontal_flip, crop_pad, color_jitter,
+            random_erasing)
 
         kernel = state.params["kernel_w"]
         w_s, cls_local, cls_ids, col_valid, u = sample_and_gather(

@@ -23,7 +23,7 @@ import optax
 
 from face_recognition_models_tpu.ops.image_ops import (
     normalize_images,
-    random_horizontal_flip,
+    apply_augmentations,
 )
 from face_recognition_models_tpu.train.losses import mean_cross_entropy
 from face_recognition_models_tpu.train.metrics import topk_accuracy
@@ -36,6 +36,8 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     has_dropout: bool = False,
                     mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
                     horizontal_flip: bool = False,
+                    crop_pad: int = 0, color_jitter: float = 0.0,
+                    random_erasing: float = 0.0,
                     use_fused_head="auto",
                     mesh=None) -> Callable:
     """Build the jittable train step.
@@ -66,7 +68,8 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                 "(memory-blended heads use the jnp path)")
         return _make_fused_train_step(backbone, head, head_cfg, tx,
                                       lambda_g, lr_schedule, has_dropout,
-                                      mean, std, horizontal_flip, mesh)
+                                      mean, std, horizontal_flip, crop_pad,
+                                      color_jitter, random_erasing, mesh)
 
     def train_step(state: TrainState, images, labels, minput_images=None):
         rng, head_rng, dropout_rng, flip_rng = jax.random.split(state.rng, 4)
@@ -75,8 +78,8 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
             images = normalize_images(images, mean, std)
             if minput_images is not None and minput_images.dtype == jnp.uint8:
                 minput_images = normalize_images(minput_images, mean, std)
-        if horizontal_flip:
-            images = random_horizontal_flip(flip_rng, images)
+        images = apply_augmentations(flip_rng, images, horizontal_flip,
+                                     crop_pad, color_jitter, random_erasing)
 
         def loss_fn(params):
             model_vars = {"params": params["backbone"],
@@ -136,7 +139,8 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
 
 def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
                            lr_schedule, has_dropout, mean, std,
-                           horizontal_flip, mesh=None) -> Callable:
+                           horizontal_flip, crop_pad=0, color_jitter=0.0,
+                           random_erasing=0.0, mesh=None) -> Callable:
     """Train step backed by the fused Pallas margin+CE kernel: the [N, C]
     logit matrix is never materialized (ops/fused_head.py)."""
     from face_recognition_models_tpu.heads.fused_adapter import fused_apply
@@ -147,8 +151,8 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
             images = normalize_images(images, mean, std)
             if minput_images is not None and minput_images.dtype == jnp.uint8:
                 minput_images = normalize_images(minput_images, mean, std)
-        if horizontal_flip:
-            images = random_horizontal_flip(flip_rng, images)
+        images = apply_augmentations(flip_rng, images, horizontal_flip,
+                                     crop_pad, color_jitter, random_erasing)
 
         def loss_fn(params):
             model_vars = {"params": params["backbone"],

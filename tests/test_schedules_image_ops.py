@@ -117,3 +117,109 @@ def test_degrade_images_preserves_uint8_contract():
     outf = degrade_images(f32)
     assert outf.dtype == jnp.float32
     assert float(jnp.max(jnp.abs(outf))) <= 1.0 + 1e-5
+
+
+def test_random_shift_crop_properties():
+    """Shape preserved; pad=0 is identity; every output row/col window is
+    a translate of the reflect-padded source (checked vs a numpy oracle
+    at forced offsets via the same key)."""
+    from face_recognition_models_tpu.ops.image_ops import random_shift_crop
+
+    rng = jax.random.PRNGKey(3)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(4, 8, 8, 3),
+                       jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(random_shift_crop(rng, imgs, 0)), np.asarray(imgs))
+
+    pad = 2
+    out = np.asarray(random_shift_crop(rng, imgs, pad))
+    assert out.shape == imgs.shape
+    # each sample must equal SOME (2*pad+1)^2 window of the padded source
+    padded = np.pad(np.asarray(imgs), ((0, 0), (pad, pad), (pad, pad),
+                                       (0, 0)), mode="reflect")
+    for i in range(imgs.shape[0]):
+        windows = [padded[i, y:y + 8, x:x + 8]
+                   for y in range(2 * pad + 1) for x in range(2 * pad + 1)]
+        assert any(np.array_equal(out[i], w) for w in windows)
+    # not all samples got the same offset (keyed per sample)
+    offsets = set()
+    for i in range(imgs.shape[0]):
+        for k, w in enumerate([padded[i, y:y + 8, x:x + 8]
+                               for y in range(5) for x in range(5)]):
+            if np.array_equal(out[i], w):
+                offsets.add(k)
+    assert len(offsets) > 1
+
+
+def test_random_color_jitter_properties():
+    """strength=0 is identity; jittered images stay affine in the input:
+    per-sample out = (x - mean)*c + mean + b for some (c, b)."""
+    from face_recognition_models_tpu.ops.image_ops import (
+        random_color_jitter)
+
+    rng = jax.random.PRNGKey(5)
+    imgs = jnp.asarray(np.random.RandomState(1).randn(3, 6, 6, 3),
+                       jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(random_color_jitter(rng, imgs, 0.0)), np.asarray(imgs))
+
+    out = np.asarray(random_color_jitter(rng, imgs, 0.4))
+    x = np.asarray(imgs)
+    for i in range(3):
+        xc = x[i] - x[i].mean()
+        # least-squares fit of out = c*xc + d must be exact
+        A = np.stack([xc.ravel(), np.ones(xc.size)], axis=1)
+        coef, res, *_ = np.linalg.lstsq(A, out[i].ravel(), rcond=None)
+        c = coef[0]
+        assert 0.6 - 1e-4 <= c <= 1.4 + 1e-4
+        fit = (A @ coef).reshape(out[i].shape)
+        np.testing.assert_allclose(out[i], fit, rtol=1e-4, atol=1e-5)
+
+
+def test_random_erasing_properties():
+    """p=0 identity; p=1 erases exactly one rectangle per sample with
+    area within the configured range; erased pixels are 0."""
+    from face_recognition_models_tpu.ops.image_ops import random_erasing
+
+    rng = jax.random.PRNGKey(9)
+    imgs = jnp.ones((4, 16, 16, 3), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(random_erasing(rng, imgs, 0.0)), np.asarray(imgs))
+
+    out = np.asarray(random_erasing(rng, imgs, 1.0,
+                                    area_range=(0.1, 0.25)))
+    for i in range(4):
+        zero = out[i, :, :, 0] == 0
+        assert zero.any()
+        # the zero region is a full rectangle
+        rows = np.where(zero.any(axis=1))[0]
+        cols = np.where(zero.any(axis=0))[0]
+        rect = np.zeros_like(zero)
+        rect[rows[0]:rows[-1] + 1, cols[0]:cols[-1] + 1] = True
+        np.testing.assert_array_equal(zero, rect)
+        # all channels erased together
+        np.testing.assert_array_equal(out[i, :, :, 1] == 0, zero)
+        area = zero.sum() / zero.size
+        assert 0.03 <= area <= 0.35  # rounding slack around (0.1, 0.25)
+
+
+def test_apply_augmentations_chain():
+    """All-defaults is the identity; enabling each stage changes the
+    batch; the chain is deterministic under a fixed key."""
+    from face_recognition_models_tpu.ops.image_ops import (
+        apply_augmentations)
+
+    rng = jax.random.PRNGKey(11)
+    imgs = jnp.asarray(np.random.RandomState(2).randn(4, 12, 12, 3),
+                       jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(apply_augmentations(rng, imgs)), np.asarray(imgs))
+
+    a = np.asarray(apply_augmentations(rng, imgs, horizontal_flip=True,
+                                       crop_pad=2, color_jitter=0.3,
+                                       erasing=0.5))
+    b = np.asarray(apply_augmentations(rng, imgs, horizontal_flip=True,
+                                       crop_pad=2, color_jitter=0.3,
+                                       erasing=0.5))
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a, np.asarray(imgs))
