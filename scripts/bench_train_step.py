@@ -35,6 +35,9 @@ def main():
                     default="auto")
     ap.add_argument("--partial-fc", type=float, default=0.0,
                     help="Partial-FC negative sample ratio (0 = dense)")
+    ap.add_argument("--augs", action="store_true",
+                    help="enable the full on-device augmentation chain "
+                    "(flip + crop-pad 4 + jitter 0.4 + erasing 0.25)")
     ap.add_argument("--platform", default=None)
     args = ap.parse_args()
 
@@ -74,10 +77,12 @@ def main():
             has_dropout=has_dropout)
     else:
         use_fused = {"auto": "auto", "fused": True, "jnp": False}[args.path]
+        aug_kw = (dict(horizontal_flip=True, crop_pad=4, color_jitter=0.4,
+                       random_erasing=0.25) if args.augs else {})
         step_fn = make_train_step(
             backbone, head, head_cfg, tx,
             has_dropout=has_dropout,
-            use_fused_head=use_fused)
+            use_fused_head=use_fused, **aug_kw)
 
     rs = np.random.RandomState(0)
     images = rs.randint(0, 256, (args.scan, args.batch, args.image_size,
