@@ -150,3 +150,33 @@ class CheckpointManager:
         target = os.path.join(self.directory,
                               filename or f"{self.model_name}_final")
         return self._ckptr.restore(target, _abstractify(abstract_state))
+
+
+def restore_backbone(checkpoint_dir: str, abstract: Any,
+                     which: str = "final",
+                     model_name: Optional[str] = None) -> Any:
+    """Load {'params', 'batch_stats'} of the EMBEDDING model from a train
+    run's checkpoint dir, selecting the artifact like `face eval --which`:
+
+    - 'final'     — the end-of-training backbone snapshot (*_final);
+    - 'final_ema' — the model-EMA backbone (*_final_ema, saved when
+      training ran with --model-ema);
+    - 'min_loss'  — the backbone inside the best-by-train-loss FULL train
+      state (the artifact the reference evaluates, evaluate_models.py:61).
+
+    `abstract` is a {'params', 'batch_stats'} pytree (or ShapeDtypeStructs)
+    matching the backbone. model_name defaults to the dir's basename.
+    Shared by `face eval`, `face embed` and `face export`."""
+    name = model_name or os.path.basename(checkpoint_dir.rstrip("/"))
+    if which == "min_loss":
+        best_dir = os.path.abspath(os.path.join(checkpoint_dir, "min_loss"))
+        full = ocp.StandardCheckpointer().restore(best_dir)
+        return {"params": full["state"]["params"]["backbone"],
+                "batch_stats": full["state"]["batch_stats"]}
+    mgr = CheckpointManager(checkpoint_dir, name)
+    if which == "final_ema":
+        return mgr.restore_final(abstract, filename=f"{name}_final_ema")
+    if which == "final":
+        return mgr.restore_final(abstract)
+    raise ValueError(
+        f"which must be final, final_ema or min_loss (got {which!r})")

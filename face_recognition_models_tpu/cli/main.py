@@ -497,6 +497,15 @@ def _add_export_parser(sub):
     p.add_argument("--platforms", default=None,
                    help="comma list of lowering targets (e.g. tpu,cpu); "
                         "default: current backend")
+    p.add_argument("--which", default="final",
+                   choices=["final", "final_ema", "min_loss"],
+                   help="which checkpoint artifact to export "
+                        "(same semantics as `face eval --which`)")
+    p.add_argument("--fold-bn", action="store_true",
+                   help="fold BatchNorm into conv weights (ResNet; "
+                        "inference-exact — ~8%% SLOWER on v5e where XLA "
+                        "already fuses the BN affine, kept for backends "
+                        "without that fusion; PERF.md)")
     return p
 
 
@@ -504,7 +513,7 @@ def cmd_export(args) -> int:
     import jax
     import numpy as np
 
-    from face_recognition_models_tpu.checkpoint import CheckpointManager
+    from face_recognition_models_tpu.checkpoint import restore_backbone
     from face_recognition_models_tpu.models import get_backbone
     from face_recognition_models_tpu.serving import export_embedder
 
@@ -516,22 +525,25 @@ def cmd_export(args) -> int:
     abstract = {"params": variables["params"],
                 "batch_stats": variables.get("batch_stats", {})}
     finals = sorted(d for d in os.listdir(args.checkpoint_dir)
-                    if d.endswith("_final"))
-    if not finals:
+                    if d.endswith("_final") and not d.endswith("_final_ema"))
+    if not finals and args.which != "min_loss":
         print(f"error: no *_final checkpoint under {args.checkpoint_dir} "
               "(train to completion first)", file=sys.stderr)
         return 1
-    mgr = CheckpointManager(args.checkpoint_dir,
-                            finals[0][:-len("_final")])
-    restored = mgr.restore_final(abstract)
+    name = finals[0][:-len("_final")] if finals else None
+    restored = restore_backbone(args.checkpoint_dir, abstract, args.which,
+                                model_name=name)
     platforms = args.platforms.split(",") if args.platforms else None
     header = export_embedder(model, restored["params"],
                              restored["batch_stats"], args.output,
                              image_size=args.image_size,
                              platforms=platforms,
-                             meta={"backbone": args.backbone})
-    print(f"exported {args.backbone} -> {args.output} "
-          f"(platforms {header['platforms']}, {header['embed_dim']}-d)")
+                             fold_bn="always" if args.fold_bn else "never",
+                             meta={"backbone": args.backbone,
+                                   "which": args.which})
+    print(f"exported {args.backbone} ({args.which}) -> {args.output} "
+          f"(platforms {header['platforms']}, {header['embed_dim']}-d"
+          f"{', BN folded' if header['bn_folded'] else ''})")
     return 0
 
 

@@ -128,7 +128,7 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
     evaluate_models.py loads <Name>_min_loss.pth)."""
     import jax
 
-    from face_recognition_models_tpu.checkpoint import CheckpointManager
+    from face_recognition_models_tpu.checkpoint import restore_backbone
     from face_recognition_models_tpu.models import get_backbone
 
     # DP the embedding passes over every available chip (mesh data axis).
@@ -166,25 +166,10 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
     acc_rows: List[dict] = []
     auc_rows: List[dict] = []
     for name in model_names:
-        mgr = CheckpointManager(os.path.join(checkpoint_dir, name), name)
         try:
-            if which == "min_loss":
-                # best checkpoint stores the full train state; extract the
-                # embedding model
-                import orbax.checkpoint as ocp
-                best_dir = os.path.abspath(
-                    os.path.join(checkpoint_dir, name, "min_loss"))
-                full = ocp.StandardCheckpointer().restore(best_dir)
-                backbone_params = full["state"]["params"]["backbone"]
-                bstats = full["state"]["batch_stats"]
-                restored = {"params": backbone_params,
-                            "batch_stats": bstats}
-            elif which == "final_ema":
-                # the model-EMA artifact (saved by `face train --model-ema`)
-                restored = mgr.restore_final(abstract,
-                                             filename=f"{name}_final_ema")
-            else:
-                restored = mgr.restore_final(abstract)
+            restored = restore_backbone(
+                os.path.join(checkpoint_dir, name), abstract, which,
+                model_name=name)
         except Exception as e:  # missing checkpoint: warn & skip (ref :44-46)
             print(f"[skip] {name}: could not load checkpoint ({e})")
             continue

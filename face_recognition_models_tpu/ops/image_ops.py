@@ -49,25 +49,31 @@ def center_crop_resize(images: jnp.ndarray, out_size: int) -> jnp.ndarray:
                             (n, out_size, out_size, c), method="bilinear")
 
 
+def _reflect_index(idx: jnp.ndarray, size: int) -> jnp.ndarray:
+    """np.pad(mode='reflect') index map for idx in (-size, 2*size-1)."""
+    idx = jnp.where(idx < 0, -idx, idx)
+    return jnp.where(idx >= size, 2 * size - 2 - idx, idx)
+
+
 def random_shift_crop(rng: jax.Array, images: jnp.ndarray,
                       pad: int) -> jnp.ndarray:
-    """Per-sample random translation: reflect-pad by `pad` pixels then crop
-    back to the original size at a keyed offset in [0, 2*pad]^2. Static
-    shapes (one dynamic_slice per sample under vmap); the cheap on-device
-    stand-in for torchvision's RandomCrop(padding=pad)."""
+    """Per-sample random translation: equivalent to reflect-padding by
+    `pad` pixels and cropping back at a keyed offset in [0, 2*pad]^2
+    (torchvision's RandomCrop(padding=pad, padding_mode='reflect')),
+    computed as two batched gathers over reflect-mapped row/col indices.
+    A vmapped dynamic_slice formulation was measured at 66 ms/b512 on
+    v5e (512 serialized slices); the take_along_axis gathers lower to
+    one fused gather per axis instead (PERF.md)."""
     if pad <= 0:
         return images
-    n, h, w, c = images.shape
-    padded = jnp.pad(images, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
-                     mode="reflect")
+    n, h, w, _ = images.shape
     ky, kx = jax.random.split(rng)
-    ys = jax.random.randint(ky, (n,), 0, 2 * pad + 1)
-    xs = jax.random.randint(kx, (n,), 0, 2 * pad + 1)
-
-    def crop(img, y, x):
-        return jax.lax.dynamic_slice(img, (y, x, 0), (h, w, c))
-
-    return jax.vmap(crop)(padded, ys, xs)
+    dy = jax.random.randint(ky, (n,), -pad, pad + 1)
+    dx = jax.random.randint(kx, (n,), -pad, pad + 1)
+    rows = _reflect_index(jnp.arange(h)[None, :] + dy[:, None], h)  # [N,H]
+    cols = _reflect_index(jnp.arange(w)[None, :] + dx[:, None], w)  # [N,W]
+    out = jnp.take_along_axis(images, rows[:, :, None, None], axis=1)
+    return jnp.take_along_axis(out, cols[:, None, :, None], axis=2)
 
 
 def random_color_jitter(rng: jax.Array, images: jnp.ndarray,

@@ -108,7 +108,7 @@ def run_embed_cli(input_dir: str, output: str,
     elif checkpoint_dir is not None:
         import jax
 
-        from face_recognition_models_tpu.checkpoint import CheckpointManager
+        from face_recognition_models_tpu.checkpoint import restore_backbone
         from face_recognition_models_tpu.models import get_backbone
         from face_recognition_models_tpu.train.step import make_eval_step
 
@@ -119,26 +119,7 @@ def run_embed_cli(input_dir: str, output: str,
                                dummy, train=False)
         abstract = {"params": variables["params"],
                     "batch_stats": variables.get("batch_stats", {})}
-        name = os.path.basename(checkpoint_dir.rstrip("/"))
-        mgr = CheckpointManager(checkpoint_dir, name)
-        # same artifact-selection semantics as `face eval --which`
-        # (evaluation/batch_eval.py)
-        if which == "min_loss":
-            import orbax.checkpoint as ocp
-            best_dir = os.path.abspath(
-                os.path.join(checkpoint_dir, "min_loss"))
-            full = ocp.StandardCheckpointer().restore(best_dir)
-            restored = {"params": full["state"]["params"]["backbone"],
-                        "batch_stats": full["state"]["batch_stats"]}
-        elif which == "final_ema":
-            restored = mgr.restore_final(abstract,
-                                         filename=f"{name}_final_ema")
-        elif which == "final":
-            restored = mgr.restore_final(abstract)
-        else:
-            print(f"error: --which must be final, final_ema or min_loss "
-                  f"(got {which!r})")
-            return 2
+        restored = restore_backbone(checkpoint_dir, abstract, which)
         eval_step = jax.jit(make_eval_step(model))
         embed_fn = lambda im: eval_step(restored["params"],
                                         restored["batch_stats"], im)
