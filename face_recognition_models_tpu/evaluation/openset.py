@@ -76,10 +76,18 @@ def _best_per_identity(scores: np.ndarray, gallery_ids: np.ndarray
 
 def pooled_scores_device(gallery_emb: np.ndarray, gallery_ids: np.ndarray,
                          probe_emb: np.ndarray, chunk: int = 256,
+                         shard: Optional[bool] = None,
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """[P, U] identity-pooled probe-gallery cosines computed ON DEVICE:
     the [chunk, G] matmul and the per-identity segment-max both run under
     one jit, so a million-image gallery never materializes host-side.
+
+    With more than one device (shard=None auto, or shard=True), gallery
+    rows shard over every device (mesh axis "data"): each shard pools its
+    local rows into the GLOBAL [chunk, U] matrix (absent identities start
+    at -inf) and a pmax over the axis combines them — N chips hold an
+    N-times-larger gallery and split the matmul FLOPs, with one [chunk, U]
+    all-reduce per chunk riding ICI.
 
     Probes are processed in fixed-size chunks (static shapes — one XLA
     program regardless of P; the last chunk is padded). fp32 matmul at
@@ -92,20 +100,55 @@ def pooled_scores_device(gallery_emb: np.ndarray, gallery_ids: np.ndarray,
 
     order = np.argsort(gallery_ids, kind="stable")
     uniq = np.unique(gallery_ids)
-    # device_put ONCE and pass as jit arguments — closing over the arrays
-    # would bake a multi-GB gallery into the compiled program as captured
-    # constants (re-shipped per compile).
-    gal = jax.device_put(
-        np.ascontiguousarray(gallery_emb[order], np.float32))
-    seg = jax.device_put(np.searchsorted(uniq, gallery_ids[order]))
     n_seg = len(uniq)
+    gal_np = np.ascontiguousarray(gallery_emb[order], np.float32)
+    seg_np = np.searchsorted(uniq, gallery_ids[order])
 
-    @functools.partial(jax.jit, static_argnums=(3,))
-    def score_chunk(probes, gal, seg, n_seg):
-        s = jnp.matmul(probes, gal.T,
-                       precision=jax.lax.Precision.HIGHEST)  # [chunk, G]
-        return jax.ops.segment_max(s.T, seg, num_segments=n_seg,
-                                   indices_are_sorted=True).T  # [chunk, U]
+    n_dev = jax.device_count()
+    if shard is None:
+        shard = n_dev > 1
+
+    if shard and n_dev > 1:
+        from jax import shard_map
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        pad_g = (-len(gal_np)) % n_dev
+        if pad_g:  # padded rows pool into a dummy segment, dropped below
+            gal_np = np.concatenate(
+                [gal_np, np.zeros((pad_g, gal_np.shape[1]), np.float32)])
+            seg_np = np.concatenate(
+                [seg_np, np.full(pad_g, n_seg, seg_np.dtype)])
+        mesh = jax.make_mesh((n_dev,), ("data",))
+        # device_put ONCE as jit arguments (closure would bake a multi-GB
+        # gallery into the program as constants, re-shipped per compile)
+        gal = jax.device_put(gal_np, NamedSharding(mesh, P("data", None)))
+        seg = jax.device_put(seg_np, NamedSharding(mesh, P("data")))
+
+        @jax.jit
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(P(None, None), P("data", None), P("data")),
+            out_specs=P(None, None))
+        def score_chunk(probes, gal_l, seg_l):
+            s = jnp.matmul(probes, gal_l.T,
+                           precision=jax.lax.Precision.HIGHEST)
+            # global segment ids: identities this shard lacks stay -inf
+            # and the cross-shard pmax fills them in
+            pooled = jax.ops.segment_max(s.T, seg_l,
+                                         num_segments=n_seg + 1,
+                                         indices_are_sorted=True).T
+            return jax.lax.pmax(pooled[:, :n_seg], "data")
+    else:
+        gal = jax.device_put(gal_np)
+        seg = jax.device_put(seg_np)
+
+        @jax.jit
+        def score_chunk(probes, gal, seg):
+            s = jnp.matmul(probes, gal.T,
+                           precision=jax.lax.Precision.HIGHEST)  # [chunk,G]
+            return jax.ops.segment_max(s.T, seg, num_segments=n_seg,
+                                       indices_are_sorted=True).T
 
     p = np.asarray(probe_emb, np.float32)
     n = p.shape[0]
@@ -118,7 +161,7 @@ def pooled_scores_device(gallery_emb: np.ndarray, gallery_ids: np.ndarray,
                 [block, np.zeros((chunk - (hi - lo), p.shape[1]),
                                  np.float32)])
         out[lo:hi] = np.asarray(
-            score_chunk(jnp.asarray(block), gal, seg, n_seg))[:hi - lo]
+            score_chunk(jnp.asarray(block), gal, seg))[:hi - lo]
     return out, uniq
 
 

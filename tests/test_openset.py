@@ -320,3 +320,31 @@ def test_identify_pool_gallery_and_min_quality_compose(tmp_path):
     res = identify_from_npz(g_npz, p_npz, ranks=(1,), pool="gallery",
                             min_quality=0.5)
     assert res.cmc[1] == 100.0
+
+
+def test_sharded_gallery_scoring_matches_single_device():
+    """Gallery rows sharded over the 8-device mesh (shard=True) pool to
+    exactly the single-device result — including a gallery count not
+    divisible by the device count (dummy-segment padding) and identities
+    whose images land on different shards."""
+    from face_recognition_models_tpu.evaluation.openset import (
+        _best_per_identity,
+        pooled_scores_device,
+    )
+    rng = np.random.default_rng(17)
+    d = 16
+    # 27 gallery images over 5 identities, shuffled so identities span
+    # shard boundaries after the stable sort
+    gal_ids = np.array([f"id{i % 5}" for i in range(27)])
+    gal = _unit(rng.normal(size=(27, d))).astype(np.float32)
+    probes = _unit(rng.normal(size=(9, d))).astype(np.float32)
+
+    pooled_s, uniq_s = pooled_scores_device(gal, gal_ids, probes, chunk=4,
+                                            shard=True)
+    pooled_1, uniq_1 = pooled_scores_device(gal, gal_ids, probes, chunk=4,
+                                            shard=False)
+    pooled_h, uniq_h = _best_per_identity(probes @ gal.T, gal_ids)
+    np.testing.assert_array_equal(uniq_s, uniq_h)
+    np.testing.assert_array_equal(uniq_1, uniq_h)
+    np.testing.assert_allclose(pooled_s, pooled_h, atol=1e-6)
+    np.testing.assert_allclose(pooled_1, pooled_h, atol=1e-6)
