@@ -20,6 +20,7 @@ from face_recognition_models_tpu.models.iresnet import (
     iresnet50,
     iresnet100,
 )
+from face_recognition_models_tpu.models.mobilefacenet import mobilefacenet
 from face_recognition_models_tpu.models.mobilenet import mobilenet_v2
 from face_recognition_models_tpu.models.resnet import resnet18, resnet50
 from face_recognition_models_tpu.models.vit import vit_b, vit_s, vit_t
@@ -29,6 +30,9 @@ BACKBONES = {
     "resnet50": resnet50,
     "efficientnet_b0": efficientnet_b0,
     "mobilenet_v2": mobilenet_v2,
+    # Beyond-reference: the edge/mobile face trunk (PReLU + GDConv,
+    # arXiv:1804.07573) — what production edge ArcFace deployments ship.
+    "mobilefacenet": mobilefacenet,
     # FaceNet's default trunk (reference FaceNet/main.py:15-24); not part
     # of the reference's margin-head backbone set but available everywhere.
     "inception_v3": inception_v3,

@@ -173,3 +173,57 @@ def test_vit_remat_is_numerically_identical():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-6)
+
+
+def test_mobilefacenet_shapes_params_and_guards():
+    """MobileFaceNet (arXiv:1804.07573): ~1.0M params at 128-d, GDConv
+    collapses the stride-16 map to [N, D], NCHW and non-/16 sizes are
+    rejected, embedding is BN'd with no activation (can go negative)."""
+    model = get_backbone("mobilefacenet", embed_dim=128, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 112, 112, 3))
+    variables = model.init(rng, x, train=False)
+    n = sum(int(np.prod(p.shape))
+            for p in jax.tree.leaves(variables["params"]))
+    assert 0.9e6 < n < 1.1e6  # paper: 0.99M
+    out = model.apply(variables, x, train=False)
+    assert out.shape == (2, 128)
+    assert np.isfinite(np.asarray(out)).all()
+    assert (np.asarray(out) < 0).any()  # linear embedding, no ReLU
+
+    # GDConv kernel spans the whole final map: params are [7, 7, 1, C]
+    assert variables["params"]["gdconv"]["kernel"].shape[:2] == (7, 7)
+
+    with pytest.raises(ValueError, match="NHWC"):
+        model.init(rng, jnp.zeros((1, 3, 112, 112)), train=False)
+    with pytest.raises(ValueError, match="divisible by 16"):
+        model.init(rng, jnp.zeros((1, 100, 100, 3)), train=False)
+
+    # BN stats mutate in train mode (feature_bn included)
+    _, mutated = model.apply(variables, x, train=True,
+                             mutable=["batch_stats"])
+    assert "feature_bn" in mutated["batch_stats"]
+
+
+@pytest.mark.slow
+def test_mobilefacenet_trains_e2e():
+    """A few arcface steps on synthetic identities decrease the loss."""
+    from face_recognition_models_tpu import config as cfg_lib
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities)
+    from face_recognition_models_tpu.train.loop import fit
+
+    images, labels = synthetic_identities(4, 8, image_size=32, seed=0,
+                                          noise=10.0)
+    cfg = cfg_lib.TrainConfig(
+        backbone="mobilefacenet", head="arcface", num_classes=4,
+        batch_size=16, epochs=4, seed=0,
+        data=cfg_lib.DataConfig(image_size=32),
+        optimizer=cfg_lib.OptimizerConfig(learning_rate=0.05))
+    loader = ArrayLoader(images, labels, batch_size=16, seed=0)
+    result = fit(cfg, loader, use_mesh=False)
+    assert np.isfinite(result.min_train_loss)
+    # arcface init loss is ~s-scaled (~32 here); 4 epochs reach ~19.7 with
+    # top-1 at 100% (seed-0 trajectory)
+    assert result.min_train_loss < 25.0
