@@ -115,6 +115,22 @@ def _add_train_parser(sub):
                         "(0 = off; typical 0.999-0.9999). The averaged "
                         "backbone is saved as <model>_final_ema and used "
                         "for --eval-after")
+    p.add_argument("--distill-dir", default="", metavar="CKPT_DIR",
+                   help="knowledge distillation: orbax checkpoint dir of a "
+                        "trained teacher (a previous `face train` "
+                        "working_path/model dir); requires --distill-weight")
+    p.add_argument("--distill-backbone", default="resnet50",
+                   help="teacher trunk name (default resnet50)")
+    p.add_argument("--distill-weight", type=float, default=0.0,
+                   metavar="W", help="weight on the embedding-matching "
+                        "loss (0 = off)")
+    p.add_argument("--distill-mode", choices=["cosine", "mse"],
+                   default="cosine",
+                   help="cosine: 1-cos on L2-normalized embeddings; mse: "
+                        "squared L2 on raw embeddings (transfers norms)")
+    p.add_argument("--distill-which",
+                   choices=["final", "final_ema", "min_loss"],
+                   default="final", help="which teacher artifact to load")
     p.add_argument("--eval-after", action="store_true",
                    help="run benchmark verification after training (the "
                         "reference README claims this but never does it)")
@@ -163,6 +179,12 @@ def cmd_train(args) -> int:
             name=args.scheduler,
             steps=tuple(int(s) for s in args.lr_steps.split(",") if s),
             warmup_epochs=args.warmup_epochs),
+        distill=cfg_lib.DistillConfig(
+            backbone=args.distill_backbone,
+            checkpoint_dir=args.distill_dir,
+            which=args.distill_which,
+            weight=args.distill_weight,
+            mode=args.distill_mode),
         mesh=cfg_lib.MeshConfig(data=args.mesh_data, model=args.mesh_model),
         data=cfg_lib.DataConfig(dataset_path=args.dataset_path,
                                 image_size=args.image_size,

@@ -331,6 +331,31 @@ class ScheduleConfig:
     warmup_epochs: int = 5
 
 
+@dataclasses.dataclass(frozen=True)
+class DistillConfig:
+    """Embedding-space knowledge distillation (beyond-reference).
+
+    The standard edge-deployment recipe for face recognition: a small
+    student trunk (e.g. mobilefacenet) matches a trained teacher's
+    embedding geometry while also training its own margin head. The
+    distill loss is computed on the SAME normalized+augmented batch the
+    student sees, against a frozen teacher run in eval mode (running BN
+    statistics), and added to the CE as
+    `loss += weight * distill(student_emb, teacher_emb)`.
+
+    mode "cosine": mean(1 - cos(s, t)) on L2-normalized embeddings — the
+    metric that verification actually uses. mode "mse": mean squared L2
+    distance on raw embeddings (also matches scale/norms, e.g. for
+    MagFace-style teachers whose norms carry quality).
+    """
+
+    backbone: str = "resnet50"   # teacher trunk name (any BACKBONES key)
+    checkpoint_dir: str = ""     # orbax dir from a previous `face train`
+    which: str = "final"         # final | final_ema | min_loss
+    weight: float = 0.0          # 0 = off
+    mode: str = "cosine"         # cosine | mse
+
+
 # ---------------------------------------------------------------------------
 # Data
 # ---------------------------------------------------------------------------
@@ -426,6 +451,9 @@ class TrainConfig:
     schedule: ScheduleConfig = ScheduleConfig()
     mesh: MeshConfig = MeshConfig()
     data: DataConfig = DataConfig()
+    # Embedding-space knowledge distillation from a frozen trained teacher
+    # (beyond-reference; see DistillConfig). weight 0 = off.
+    distill: DistillConfig = DistillConfig()
 
 
 @dataclasses.dataclass(frozen=True)

@@ -72,11 +72,31 @@ def degrade_images(images: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def _load_teacher(distill_cfg, feature_dim: int, image_size: int):
+    """Restore a frozen teacher (module, params, batch_stats) from the orbax
+    artifacts a previous `face train` run saved (checkpoint/manager.py
+    restore_backbone: final / final_ema / min_loss)."""
+    from face_recognition_models_tpu.checkpoint import restore_backbone
+    from face_recognition_models_tpu.models import get_backbone
+
+    module = get_backbone(distill_cfg.backbone, embed_dim=feature_dim)
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    abstract = module.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           dummy, train=False)
+    restored = restore_backbone(
+        distill_cfg.checkpoint_dir,
+        {"params": abstract["params"],
+         "batch_stats": abstract.get("batch_stats", {})},
+        distill_cfg.which)
+    return module, restored["params"], restored["batch_stats"]
+
+
 def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
         mesh=None, use_mesh: Optional[bool] = None,
         checkpoint_manager: Optional[CheckpointManager] = None,
         head_cfg=None, hooks: Optional[Callable] = None,
-        warm_start=None) -> FitResult:
+        warm_start=None, teacher=None) -> FitResult:
     """Train for cfg.epochs over `loader` (any object with
     steps_per_epoch() and epoch(i) -> iterator of (uint8 images, labels)).
 
@@ -86,6 +106,11 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
     loads a torch state_dict from disk. The head kernel and optimizer
     state start fresh, exactly like the reference's ImageNet fine-tuning
     (backbones.py:12-26 swaps the final layer and trains everything).
+
+    teacher: optional (backbone module, params, batch_stats) triple for
+    knowledge distillation (requires cfg.distill.weight > 0) — the
+    in-memory alternative to cfg.distill.checkpoint_dir. See
+    config.DistillConfig and train/step.py distill_loss.
     """
     if head_cfg is None:
         head_cfg = cfg_lib.make_head_config(cfg.head,
@@ -141,6 +166,45 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
 
     has_dropout = cfg.backbone in ("efficientnet_b0", "mobilenet_v2")
     partial_fc = float(getattr(cfg, "partial_fc", 0.0))
+
+    # --- knowledge distillation (beyond-reference; config.DistillConfig) ---
+    distill_cfg = getattr(cfg, "distill", cfg_lib.DistillConfig())
+    distill_weight = float(distill_cfg.weight)
+    teacher_fn = None
+    if teacher is not None and distill_weight <= 0.0:
+        raise ValueError(
+            "teacher provided but cfg.distill.weight == 0; set a positive "
+            "--distill-weight to enable distillation")
+    if distill_weight > 0.0:
+        if partial_fc > 0.0:
+            raise ValueError(
+                "distillation requires --partial-fc 0 (the sampled-"
+                "classifier step does not carry the teacher forward)")
+        if teacher is None:
+            if not distill_cfg.checkpoint_dir:
+                raise ValueError(
+                    "distill.weight > 0 needs a teacher: pass teacher="
+                    "(module, params, batch_stats) or set "
+                    "--distill-dir <orbax checkpoint dir>")
+            teacher = _load_teacher(distill_cfg, head_cfg.feature_dim,
+                                    cfg.data.image_size)
+        t_module, t_params, t_stats = teacher
+        t_vars = {"params": jax.tree.map(jnp.asarray, t_params),
+                  "batch_stats": jax.tree.map(jnp.asarray, t_stats)}
+        d_t = jax.eval_shape(
+            lambda im: t_module.apply(t_vars, im, train=False),
+            jax.ShapeDtypeStruct(
+                (1, cfg.data.image_size, cfg.data.image_size, 3),
+                jnp.float32)).shape[-1]
+        if d_t != head_cfg.feature_dim:
+            raise ValueError(
+                f"teacher embedding dim {d_t} != student feature dim "
+                f"{head_cfg.feature_dim}; distill_loss needs matching "
+                "embedding spaces")
+        # frozen teacher in eval mode (running BN statistics); closed-over
+        # constants replicate under the mesh, the batch stays DP-sharded
+        teacher_fn = lambda images: t_module.apply(t_vars, images,
+                                                   train=False)
     if partial_fc > 0.0:
         from face_recognition_models_tpu.train.partial_fc import (
             init_partial_fc_opt_state,
@@ -211,7 +275,9 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             color_jitter=cfg.data.color_jitter,
             random_erasing=cfg.data.random_erasing,
             use_fused_head=cfg.use_pallas_head,
-            mesh=mesh if use_mesh else None)
+            mesh=mesh if use_mesh else None,
+            teacher_fn=teacher_fn, distill_weight=distill_weight,
+            distill_mode=distill_cfg.mode)
 
     if ema_decay > 0.0:
         # per-step EMA fused into the step's own dispatch (the lerp is one

@@ -30,6 +30,31 @@ from face_recognition_models_tpu.train.metrics import topk_accuracy
 from face_recognition_models_tpu.train.state import TrainState
 
 
+def distill_loss(student_feats, teacher_feats, mode: str):
+    """Embedding-space distillation penalty (beyond-reference).
+
+    Hinton-style KD adapted to metric embeddings: the student matches the
+    teacher's embedding GEOMETRY rather than class probabilities — the
+    standard recipe for face-recognition students (e.g. a MobileFaceNet
+    distilled from a ResNet ArcFace teacher), since verification consumes
+    cosines, not logits.
+
+    cosine: mean(1 - cos(s, t)) on L2-normalized embeddings.
+    mse: mean squared L2 distance on RAW embeddings (also transfers
+    norms, e.g. MagFace-style teachers whose norms carry quality).
+    """
+    if mode == "cosine":
+        s = student_feats / (jnp.linalg.norm(
+            student_feats, axis=1, keepdims=True) + 1e-12)
+        t = teacher_feats / (jnp.linalg.norm(
+            teacher_feats, axis=1, keepdims=True) + 1e-12)
+        return jnp.mean(1.0 - jnp.sum(s * t, axis=1))
+    if mode == "mse":
+        return jnp.mean(jnp.sum(
+            (student_feats - teacher_feats) ** 2, axis=1))
+    raise ValueError(f"unknown distill mode '{mode}' (cosine | mse)")
+
+
 def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     lambda_g: float = 0.0,
                     lr_schedule: Optional[Callable] = None,
@@ -39,12 +64,20 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     crop_pad: int = 0, color_jitter: float = 0.0,
                     random_erasing: float = 0.0,
                     use_fused_head="auto",
-                    mesh=None) -> Callable:
+                    mesh=None,
+                    teacher_fn: Optional[Callable] = None,
+                    distill_weight: float = 0.0,
+                    distill_mode: str = "cosine") -> Callable:
     """Build the jittable train step.
 
     use_fused_head: True forces the fused Pallas margin+CE kernel (errors
     for unsupported heads), False forces the XLA jnp path, "auto" (default)
     picks per (head, num_classes, platform) from the measured win table.
+
+    teacher_fn: optional frozen embedding fn (normalized images -> [N, D])
+    for knowledge distillation; `distill_weight * distill_loss(...)` is
+    added to the loss, and the teacher runs inside the same compiled step
+    on the SAME augmented batch (gradients never flow into it).
 
     Returns step(state, images, labels, minput_images=None)
       -> (new_state, metrics dict).
@@ -69,7 +102,9 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
         return _make_fused_train_step(backbone, head, head_cfg, tx,
                                       lambda_g, lr_schedule, has_dropout,
                                       mean, std, horizontal_flip, crop_pad,
-                                      color_jitter, random_erasing, mesh)
+                                      color_jitter, random_erasing, mesh,
+                                      teacher_fn, distill_weight,
+                                      distill_mode)
 
     def train_step(state: TrainState, images, labels, minput_images=None):
         rng, head_rng, dropout_rng, flip_rng = jax.random.split(state.rng, 4)
@@ -80,6 +115,10 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                 minput_images = normalize_images(minput_images, mean, std)
         images = apply_augmentations(flip_rng, images, horizontal_flip,
                                      crop_pad, color_jitter, random_erasing)
+        t_feats = None
+        if teacher_fn is not None:
+            t_feats = jax.lax.stop_gradient(
+                teacher_fn(images).astype(jnp.float32))
 
         def loss_fn(params):
             model_vars = {"params": params["backbone"],
@@ -102,10 +141,13 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                              minput=minput_feats)
             # CE on post-margin logits (model_utils.py:179)
             loss_id = mean_cross_entropy(out.logits, labels)
-            loss = loss_id + lambda_g * out.loss_g
-            return loss, (out, mutated["batch_stats"], loss_id)
+            loss_kd = (distill_loss(feats, t_feats, distill_mode)
+                       if t_feats is not None else jnp.float32(0.0))
+            loss = (loss_id + lambda_g * out.loss_g
+                    + distill_weight * loss_kd)
+            return loss, (out, mutated["batch_stats"], loss_id, loss_kd)
 
-        (loss, (out, new_batch_stats, loss_id)), grads = (
+        (loss, (out, new_batch_stats, loss_id, loss_kd)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params))
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
@@ -124,6 +166,8 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
             "lr": lr,
             "feat_norm": jnp.mean(out.norms),
         }
+        if teacher_fn is not None:
+            metrics["loss_kd"] = distill_weight * loss_kd
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
@@ -140,7 +184,10 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
 def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
                            lr_schedule, has_dropout, mean, std,
                            horizontal_flip, crop_pad=0, color_jitter=0.0,
-                           random_erasing=0.0, mesh=None) -> Callable:
+                           random_erasing=0.0, mesh=None,
+                           teacher_fn: Optional[Callable] = None,
+                           distill_weight: float = 0.0,
+                           distill_mode: str = "cosine") -> Callable:
     """Train step backed by the fused Pallas margin+CE kernel: the [N, C]
     logit matrix is never materialized (ops/fused_head.py)."""
     from face_recognition_models_tpu.heads.fused_adapter import fused_apply
@@ -153,6 +200,10 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
                 minput_images = normalize_images(minput_images, mean, std)
         images = apply_augmentations(flip_rng, images, horizontal_flip,
                                      crop_pad, color_jitter, random_erasing)
+        t_feats = None
+        if teacher_fn is not None:
+            t_feats = jax.lax.stop_gradient(
+                teacher_fn(images).astype(jnp.float32))
 
         def loss_fn(params):
             model_vars = {"params": params["backbone"],
@@ -171,10 +222,14 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
                               feats.astype(jnp.float32), labels,
                               state.head_state, rng=head_rng,
                               minput=minput_feats, mesh=mesh)
-            loss = out.loss_id + lambda_g * out.loss_g
-            return loss, (out, mutated["batch_stats"])
+            loss_kd = (distill_loss(feats.astype(jnp.float32), t_feats,
+                                    distill_mode)
+                       if t_feats is not None else jnp.float32(0.0))
+            loss = (out.loss_id + lambda_g * out.loss_g
+                    + distill_weight * loss_kd)
+            return loss, (out, mutated["batch_stats"], loss_kd)
 
-        (loss, (out, new_batch_stats)), grads = (
+        (loss, (out, new_batch_stats, loss_kd)), grads = (
             jax.value_and_grad(loss_fn, has_aux=True)(state.params))
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
@@ -191,6 +246,8 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
             "lr": lr,
             "feat_norm": jnp.mean(out.norms),
         }
+        if teacher_fn is not None:
+            metrics["loss_kd"] = distill_weight * loss_kd
         new_state = state.replace(
             step=state.step + 1, params=new_params,
             batch_stats=new_batch_stats, head_state=out.state,

@@ -110,6 +110,8 @@ TRAIN_COLUMNS: Sequence[Tuple[str, str, str]] = (
     ("loss", "Loss", ".3f"),
     ("loss_id", "L_ID", ".3f"),
     ("loss_mag", "L_mag", ".6f"),
+    # only rendered when the train step emits it (distillation on)
+    ("loss_kd", "L_KD", ".4f"),
     ("acc1", "Acc@1", "6.2f"),
     ("acc5", "Acc@5", "6.2f"),
 )
