@@ -161,6 +161,8 @@ def restore_backbone(checkpoint_dir: str, abstract: Any,
     - 'final'     — the end-of-training backbone snapshot (*_final);
     - 'final_ema' — the model-EMA backbone (*_final_ema, saved when
       training ran with --model-ema);
+    - 'best_acc'  — the best-by-verification backbone (*_best_acc, saved
+      when training ran with --eval-every; evaluation/periodic.py);
     - 'min_loss'  — the backbone inside the best-by-train-loss FULL train
       state (the artifact the reference evaluates, evaluate_models.py:61).
 
@@ -174,9 +176,10 @@ def restore_backbone(checkpoint_dir: str, abstract: Any,
         return {"params": full["state"]["params"]["backbone"],
                 "batch_stats": full["state"]["batch_stats"]}
     mgr = CheckpointManager(checkpoint_dir, name)
-    if which == "final_ema":
-        return mgr.restore_final(abstract, filename=f"{name}_final_ema")
+    if which in ("final_ema", "best_acc"):
+        return mgr.restore_final(abstract, filename=f"{name}_{which}")
     if which == "final":
         return mgr.restore_final(abstract)
     raise ValueError(
-        f"which must be final, final_ema or min_loss (got {which!r})")
+        f"which must be final, final_ema, best_acc or min_loss "
+        f"(got {which!r})")

@@ -129,13 +129,18 @@ def _add_train_parser(sub):
                    help="cosine: 1-cos on L2-normalized embeddings; mse: "
                         "squared L2 on raw embeddings (transfers norms)")
     p.add_argument("--distill-which",
-                   choices=["final", "final_ema", "min_loss"],
+                   choices=["final", "final_ema", "min_loss", "best_acc"],
                    default="final", help="which teacher artifact to load")
     p.add_argument("--eval-after", action="store_true",
                    help="run benchmark verification after training (the "
                         "reference README claims this but never does it)")
+    p.add_argument("--eval-every", type=int, default=0, metavar="N",
+                   help="run benchmark verification every N epochs DURING "
+                        "training (0 = off; needs --eval-data-path); logs "
+                        "val/<bench>_acc and saves the best-by-verification "
+                        "backbone as <model>_best_acc")
     p.add_argument("--eval-data-path", default="",
-                   help="benchmark root for --eval-after")
+                   help="benchmark root for --eval-after / --eval-every")
     p.add_argument("--benchmarks", default=",".join(cfg_lib.EVAL_BENCHMARKS))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=8)
@@ -282,9 +287,34 @@ def cmd_train(args) -> int:
             log_dir=os.path.join(args.working_path, "log"))
         mgr = CheckpointManager(ckpt_dir, model_name,
                                 keep=cfg.keep_checkpoints)
+        eval_hook = None
+        if args.eval_every > 0:
+            if not args.eval_data_path:
+                print("--eval-every: no --eval-data-path given, skipping")
+            else:
+                import jax.numpy as jnp
+
+                from face_recognition_models_tpu.evaluation.periodic import (
+                    PeriodicEvalHook)
+                from face_recognition_models_tpu.models import get_backbone
+                # mirror create_train_state's module config so the live
+                # param pytree applies cleanly
+                eval_hook = PeriodicEvalHook(
+                    get_backbone(cfg.backbone,
+                                 embed_dim=head_cfg.feature_dim,
+                                 dtype=jnp.dtype(cfg.compute_dtype),
+                                 bn_dtype=jnp.dtype(cfg.bn_dtype)),
+                    args.eval_data_path, args.benchmarks.split(","),
+                    every=args.eval_every, image_size=cfg.data.image_size,
+                    total_epochs=cfg.epochs, logger=logger,
+                    checkpoint_manager=mgr, model_name=model_name,
+                    use_ema=cfg.model_ema > 0.0)
         t0 = time.time()
         result = fit(cfg, loader, logger=logger, checkpoint_manager=mgr,
-                     head_cfg=head_cfg)
+                     head_cfg=head_cfg, hooks=eval_hook)
+        if eval_hook is not None and eval_hook.best_epoch > 0:
+            print(f"Best verification {eval_hook.best_acc:.3f}% at epoch "
+                  f"{eval_hook.best_epoch} (saved {model_name}_best_acc)")
         # final artifact = the embedding model (backbone params + BN stats);
         # the full train state (incl. head kernel/state) lives in the
         # epoch/min_loss checkpoints.
@@ -345,7 +375,7 @@ def _add_eval_parser(sub):
                    default=cfg_lib.CASIA_NUM_CLASSES)
     p.add_argument("--output-dir", default="evaluation_results")
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
-    p.add_argument("--which", choices=["final", "min_loss", "final_ema"],
+    p.add_argument("--which", choices=["final", "min_loss", "final_ema", "best_acc"],
                    default="final",
                    help="which checkpoint to evaluate (the reference "
                         "evaluates min_loss)")
@@ -520,7 +550,7 @@ def _add_export_parser(sub):
                    help="comma list of lowering targets (e.g. tpu,cpu); "
                         "default: current backend")
     p.add_argument("--which", default="final",
-                   choices=["final", "final_ema", "min_loss"],
+                   choices=["final", "final_ema", "min_loss", "best_acc"],
                    help="which checkpoint artifact to export "
                         "(same semantics as `face eval --which`)")
     p.add_argument("--fold-bn", action="store_true",
@@ -579,7 +609,7 @@ def _add_embed_parser(sub):
     p.add_argument("--checkpoint-dir", default=None,
                    help="alternatively: a training checkpoint dir")
     p.add_argument("--which", default="final",
-                   choices=["final", "final_ema", "min_loss"],
+                   choices=["final", "final_ema", "min_loss", "best_acc"],
                    help="which checkpoint artifact to embed with "
                         "(same semantics as `face eval --which`)")
     p.add_argument("--backbone", default="resnet50")

@@ -7,6 +7,9 @@ from face_recognition_models_tpu.evaluation.openset import (
     open_set_identification,
     tpr_at_far,
 )
+from face_recognition_models_tpu.evaluation.periodic import (
+    PeriodicEvalHook,
+)
 from face_recognition_models_tpu.evaluation.verification import (
     VerificationResult,
     embed_unique_images,
@@ -17,4 +20,4 @@ from face_recognition_models_tpu.evaluation.verification import (
 __all__ = ["VerificationResult", "embed_unique_images", "kfold_verification",
            "kfold_verification_device", "pair_cosine_similarities",
            "IdentificationResult", "closed_set_identification",
-           "open_set_identification", "tpr_at_far"]
+           "open_set_identification", "tpr_at_far", "PeriodicEvalHook"]
