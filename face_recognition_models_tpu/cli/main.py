@@ -628,6 +628,42 @@ def cmd_embed(args) -> int:
         batch_size=args.batch_size, num_workers=args.num_workers)
 
 
+def _add_serve_parser(sub):
+    p = sub.add_parser(
+        "serve",
+        help="online embedding/identification HTTP service: concurrent "
+             "requests coalesce into one fixed-shape device micro-batch "
+             "(b=8 costs +8% latency for 7.4x throughput on v5e — "
+             "PERF.md 'Serving latency')")
+    p.add_argument("--model", default=None,
+                   help="serving artifact from `face export`")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="alternatively: a training checkpoint dir")
+    p.add_argument("--which", default="final",
+                   choices=["final", "final_ema", "min_loss", "best_acc"])
+    p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--micro-batch", type=int, default=8,
+                   help="fixed device batch requests coalesce into")
+    p.add_argument("--max-wait-ms", type=float, default=5.0,
+                   help="max time to wait for co-arriving requests")
+    p.add_argument("--gallery", default=None, metavar="GALLERY.npz",
+                   help="`face embed` output enabling POST /identify")
+    return p
+
+
+def cmd_serve(args) -> int:
+    from face_recognition_models_tpu.serving.server import run_serve_cli
+    return run_serve_cli(
+        model_path=args.model, checkpoint_dir=args.checkpoint_dir,
+        backbone=args.backbone, which=args.which,
+        image_size=args.image_size, host=args.host, port=args.port,
+        micro_batch=args.micro_batch, max_wait_ms=args.max_wait_ms,
+        gallery=args.gallery)
+
+
 def _add_identify_parser(sub):
     p = sub.add_parser(
         "identify",
@@ -700,6 +736,7 @@ def main(argv=None) -> int:
     _add_export_parser(sub)
     _add_embed_parser(sub)
     _add_identify_parser(sub)
+    _add_serve_parser(sub)
     sub.add_parser("list", help="list available heads/backbones")
 
     args = parser.parse_args(argv)
@@ -726,6 +763,8 @@ def main(argv=None) -> int:
         return cmd_export(args)
     if args.command == "embed":
         return cmd_embed(args)
+    if args.command == "serve":
+        return cmd_serve(args)
     if args.command == "identify":
         return cmd_identify(args)
     if args.command == "list":

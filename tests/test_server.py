@@ -1,0 +1,192 @@
+"""`face serve` — micro-batching embedding service (serving/server.py)."""
+
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu.serving.server import (
+    EmbedService,
+    MicroBatcher,
+    make_server,
+)
+
+IMG = 32
+
+
+# --- MicroBatcher (no model: deterministic fake embed) ----------------------
+
+def _fake_embed(images):
+    """[B,S,S,3] u8 -> [B,4] f32: per-channel means + a constant."""
+    b = images.shape[0]
+    f = images.reshape(b, -1, 3).mean(axis=1)
+    return np.concatenate([f, np.full((b, 1), 7.0)], axis=1)
+
+
+def test_microbatcher_correct_and_coalesces():
+    mb = MicroBatcher(_fake_embed, batch_size=4, max_wait_ms=200.0)
+    rs = np.random.RandomState(0)
+    imgs = [rs.randint(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+            for _ in range(8)]
+    results = [None] * 8
+
+    def work(i):
+        results[i] = mb.submit(imgs[i])
+
+    threads = [threading.Thread(target=work, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(8):
+        np.testing.assert_allclose(results[i],
+                                   _fake_embed(imgs[i][None])[0], rtol=1e-6)
+    st = mb.stats()
+    assert st["images"] == 8
+    # 8 concurrent requests into batch_size-4 slots with a 200 ms window
+    # must coalesce: strictly fewer batches than images
+    assert st["batches"] < 8
+    assert st["max_coalesced"] >= 2
+    mb.close()
+
+
+def test_microbatcher_error_propagates_and_recovers():
+    calls = {"n": 0}
+
+    def flaky(images):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("boom")
+        return _fake_embed(images)
+
+    mb = MicroBatcher(flaky, batch_size=2, max_wait_ms=1.0)
+    img = np.zeros((IMG, IMG, 3), np.uint8)
+    with pytest.raises(RuntimeError, match="boom"):
+        mb.submit(img)
+    # the worker survives a failed batch
+    out = mb.submit(img)
+    np.testing.assert_allclose(out, _fake_embed(img[None])[0])
+    mb.close()
+
+
+def test_microbatcher_rejects_bad_batch_size():
+    with pytest.raises(ValueError, match="batch_size"):
+        MicroBatcher(_fake_embed, batch_size=0)
+
+
+# --- HTTP service over a real (random-weight) backbone ----------------------
+
+@pytest.fixture(scope="module")
+def served():
+    import jax
+
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.train.step import make_eval_step
+
+    model = get_backbone("resnet18")
+    dummy = np.zeros((1, IMG, IMG, 3), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           dummy, train=False)
+    eval_step = jax.jit(make_eval_step(model))
+    params, stats = variables["params"], variables.get("batch_stats", {})
+    embed_fn = lambda im: eval_step(params, stats, im)
+
+    service = EmbedService(embed_fn, IMG, batch_size=4, max_wait_ms=2.0)
+    server = make_server(service, port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    url = f"http://127.0.0.1:{server.server_address[1]}"
+    yield url, service, embed_fn
+    server.shutdown()
+    service.close()
+
+
+def _jpeg_bytes(arr):
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")  # PNG: lossless round trip
+    return buf.getvalue()
+
+
+def _post(url, data):
+    req = urllib.request.Request(url, data=data, method="POST")
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def test_http_embed_matches_direct(served):
+    url, service, embed_fn = served
+    rs = np.random.RandomState(1)
+    img = rs.randint(0, 256, (IMG, IMG, 3), dtype=np.uint8)
+    out = _post(url + "/embed", _jpeg_bytes(img))
+
+    emb = np.asarray(out["embedding"], np.float32)
+    assert abs(np.linalg.norm(emb) - 1.0) < 1e-4  # L2-normalized
+    assert 0.0 <= out["quality"] <= 1.0
+    assert out["norm"] > 0
+    # same math as a direct eval of the one image; tolerance covers the
+    # bf16 tiling difference between a batch-1 and a padded batch-4 program
+    direct = np.asarray(embed_fn(img[None]), np.float32)[0]
+    direct = direct / np.linalg.norm(direct)
+    np.testing.assert_allclose(emb, direct, atol=2e-3)
+    assert float(emb @ direct) > 0.999999
+
+
+def test_http_healthz_and_errors(served):
+    url, service, _ = served
+    with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+        h = json.loads(r.read())
+    assert h["status"] == "ok"
+    assert h["embed_dim"] == 512 and h["image_size"] == IMG
+
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/embed", b"not an image")
+    assert e.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/identify", _jpeg_bytes(
+            np.zeros((IMG, IMG, 3), np.uint8)))
+    assert e.value.code == 409  # no gallery loaded
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/nope", b"")
+    assert e.value.code == 404
+
+
+def test_http_identify_with_gallery(served, tmp_path):
+    url, service, embed_fn = served
+    rs = np.random.RandomState(2)
+    imgs = rs.randint(0, 256, (3, IMG, IMG, 3), dtype=np.uint8)
+    emb = np.array(embed_fn(np.concatenate(
+        [imgs, np.zeros((1, IMG, IMG, 3), np.uint8)])), np.float32)[:3]
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    gal = tmp_path / "gallery.npz"
+    np.savez(gal, embeddings=emb,
+             paths=np.asarray([f"id{i}/img.png" for i in range(3)]))
+
+    # a second service sharing the already-compiled embed_fn, with gallery
+    svc = EmbedService(embed_fn, IMG, batch_size=4, max_wait_ms=1.0,
+                       gallery_path=str(gal))
+    srv = make_server(svc, port=0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        u = f"http://127.0.0.1:{srv.server_address[1]}"
+        out = _post(u + "/identify?top_k=2", _jpeg_bytes(imgs[1]))
+        assert len(out["matches"]) == 2
+        assert out["matches"][0]["path"] == "id1/img.png"
+        assert out["matches"][0]["score"] > 0.99  # self-match, lossless PNG
+        assert out["matches"][0]["score"] >= out["matches"][1]["score"]
+    finally:
+        srv.shutdown()
+        svc.close()
+
+    # dim-mismatched gallery is a loud startup error
+    np.savez(tmp_path / "bad.npz", embeddings=np.zeros((2, 7), np.float32),
+             paths=np.asarray(["a", "b"]))
+    with pytest.raises(ValueError, match="dim"):
+        EmbedService(embed_fn, IMG, batch_size=4,
+                     gallery_path=str(tmp_path / "bad.npz"))
