@@ -223,6 +223,24 @@ class SubCenterArcFaceConfig(HeadConfig):
     easy_margin: bool = False
 
 
+@dataclasses.dataclass(frozen=True)
+class AdaCosConfig(HeadConfig):
+    """AdaCos (Zhang et al., CVPR 2019; beyond the reference): no margin,
+    no tuned scale — the cosine-logit scale is set analytically.
+
+    fixed:   s = sqrt(2) * ln(C - 1), constant.
+    dynamic: s_t = ln(B_avg) / cos(min(pi/4, theta_med)), where B_avg is
+    the batch mean of the non-target exp(s_{t-1} cos) mass and theta_med
+    the median target angle — the scale that keeps P(target) ~ 0.5 at the
+    median difficulty, annealing supervision automatically. The running
+    scale is head state (checkpointed like CurricularFace's t).
+    """
+
+    name: str = "adacos"
+    dynamic: bool = True
+    theta_clip: float = math.pi / 4.0
+
+
 HEAD_CONFIGS = {
     "sphereface": SphereFaceConfig,
     "cosface": CosFaceConfig,
@@ -237,6 +255,7 @@ HEAD_CONFIGS = {
     "qaface": QAFaceConfig,
     "combined_margin": CombinedMarginConfig,
     "subcenter_arcface": SubCenterArcFaceConfig,
+    "adacos": AdaCosConfig,
 }
 
 

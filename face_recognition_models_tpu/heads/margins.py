@@ -727,3 +727,66 @@ register_head(Head(
     init_state=lambda cfg: None,
     apply=_subcenter_arcface_apply,
 ))
+
+
+# ---------------------------------------------------------------------------
+# AdaCos (Zhang et al., CVPR 2019 — beyond the reference)
+# ---------------------------------------------------------------------------
+
+
+class AdaCosState(struct.PyTreeNode):
+    s: jnp.ndarray  # [1] running adaptive scale
+
+
+def _adacos_init_scale(cfg) -> float:
+    """Fixed AdaCos scale sqrt(2) * ln(C - 1) (paper eq. 11)."""
+    return math.sqrt(2.0) * math.log(max(cfg.num_classes - 1, 2))
+
+
+def _adacos_apply(cfg: cfg_lib.AdaCosConfig, kernel, feats, labels,
+                  state: AdaCosState, rng=None, minput=None):
+    """Margin-free cosine logits with an analytically-set scale.
+
+    Dynamic rule (paper eqs. 12-13): with the previous scale s,
+      B_avg     = mean_i sum_{k != y_i} exp(s * cos_ik)
+      theta_med = median_i arccos(cos_target_i), clipped to <= theta_clip
+      s_new     = ln(B_avg) / cos(theta_med)
+    and the CURRENT batch's logits use s_new. The scale chases the point
+    where the median sample's target probability is ~0.5, so supervision
+    anneals itself — no margin or scale hyperparameter to tune. The exp
+    sum reuses the previous scale, so s is head state (like
+    CurricularFace's t, criterion.py:517); under pjit-DP the batch
+    mean/median are global-batch statistics automatically.
+    """
+    cos, _, norms = cosine_logits(feats, kernel)
+    cos = jnp.clip(cos, -1.0 + 1e-7, 1.0 - 1e-7)
+    one_hot = _one_hot(labels, cfg.num_classes)
+    if cfg.dynamic:
+        t_cos = _target_cos(cos, one_hot)                       # [N, 1]
+        theta = jnp.arccos(t_cos[:, 0])                         # [N]
+        # stop_gradient: the scale is a statistic, not a learnable path
+        # (also kills arccos's infinite slope at |cos| -> 1)
+        b_avg = jnp.mean(jnp.sum(
+            (1.0 - one_hot) * jnp.exp(state.s * cos), axis=1))
+        theta_med = jnp.clip(jnp.median(theta), 0.0, cfg.theta_clip)
+        s_new = jax.lax.stop_gradient(
+            jnp.log(jnp.maximum(b_avg, 1e-12)) / jnp.cos(theta_med))
+        s_new = jnp.reshape(s_new, (1,))
+        new_state = AdaCosState(s=s_new)
+        scale = s_new[0]
+    else:
+        new_state = state
+        scale = state.s[0]
+    logits = cos * scale
+    # no margin: pre-margin and CE logits coincide
+    return HeadOutput(logits, logits, norms, jnp.float32(0.0), one_hot,
+                      new_state)
+
+
+register_head(Head(
+    name="adacos",
+    init_kernel=_xavier_uniform_kernel,
+    init_state=lambda cfg: AdaCosState(
+        s=jnp.full((1,), _adacos_init_scale(cfg), _F32)),
+    apply=_adacos_apply,
+))

@@ -50,7 +50,11 @@ from face_recognition_models_tpu.train.state import TrainState
 
 _NEG_INF = jnp.float32(-1e30)
 
-UNSUPPORTED_HEADS = ("vpl_arcface", "qaface", "subcenter_arcface")
+# vpl/qaface: [C, D] memory state doesn't follow sampled columns;
+# subcenter: assumes one kernel column per class; adacos: its adaptive
+# scale is a FULL-softmax statistic (B_avg sums every non-target class,
+# and the init is ln(C-1)) — both would be biased in sampled space.
+UNSUPPORTED_HEADS = ("vpl_arcface", "qaface", "subcenter_arcface", "adacos")
 
 
 def num_sampled_classes(num_classes: int, sample_ratio: float,

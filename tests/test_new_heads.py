@@ -203,3 +203,98 @@ def test_partial_fc_rejects_subcenter_supports_combined():
     with pytest.raises(ValueError, match="subcenter"):
         make_partial_fc_train_step(_Fake(), sub, sub_cfg, tx,
                                    num_sampled=8, learning_rate=0.1)
+
+
+# ---------------------------------------------------------------------------
+# AdaCos (no margin, analytic adaptive scale)
+# ---------------------------------------------------------------------------
+
+
+def test_adacos_init_and_fixed_mode():
+    import math
+
+    head = get_head("adacos")
+    cfg = cfg_lib.make_head_config("adacos", feature_dim=D, num_classes=C,
+                                   dynamic=False)
+    st = head.init_state(cfg)
+    s0 = math.sqrt(2.0) * math.log(C - 1)
+    assert float(st.s[0]) == pytest.approx(s0, rel=1e-6)
+
+    feats, labels = _inputs()
+    kernel = head.init_kernel(jax.random.PRNGKey(3), cfg)
+    out = head.apply(cfg, kernel, feats, labels, st)
+    # fixed mode: scale never moves, logits = s0 * cos, no margin anywhere
+    assert float(out.state.s[0]) == float(st.s[0])
+    np.testing.assert_allclose(np.asarray(out.pre_logits),
+                               np.asarray(out.logits))
+    cos = np.asarray(out.logits) / s0
+    assert np.all(np.abs(cos) <= 1.0 + 1e-5)
+
+
+def test_adacos_dynamic_update_matches_numpy_oracle():
+    head = get_head("adacos")
+    cfg = cfg_lib.make_head_config("adacos", feature_dim=D, num_classes=C)
+    st = head.init_state(cfg)
+    feats, labels = _inputs(seed=7)
+    kernel = head.init_kernel(jax.random.PRNGKey(4), cfg)
+    out = head.apply(cfg, kernel, feats, labels, st)
+
+    # independent numpy recomputation of the paper's update (eqs. 12-13)
+    f = np.asarray(feats, np.float64)
+    k = np.asarray(kernel, np.float64)
+    cos = (f / np.linalg.norm(f, axis=1, keepdims=True)) @ (
+        k / np.linalg.norm(k, axis=0, keepdims=True))
+    cos = np.clip(cos, -1 + 1e-7, 1 - 1e-7)
+    oh = np.eye(C)[np.asarray(labels)]
+    s_prev = float(st.s[0])
+    b_avg = float(np.mean(np.sum((1 - oh) * np.exp(s_prev * cos), axis=1)))
+    theta = np.arccos(np.sum(cos * oh, axis=1))
+    theta_med = min(float(np.median(theta)), np.pi / 4)
+    s_want = np.log(b_avg) / np.cos(theta_med)
+    assert float(out.state.s[0]) == pytest.approx(s_want, rel=1e-4)
+    # the CURRENT logits already use the new scale
+    np.testing.assert_allclose(np.asarray(out.logits),
+                               np.asarray(cos * float(out.state.s[0])),
+                               atol=1e-3)
+
+
+def test_adacos_scale_anneals_as_targets_sharpen():
+    """When target cosines are high (easy batch), the clipped median angle
+    makes s track ln(B_avg) — harder batches (theta near pi/2) get a much
+    larger scale, easy ones a smaller one. Check the ordering."""
+    head = get_head("adacos")
+    cfg = cfg_lib.make_head_config("adacos", feature_dim=D, num_classes=C)
+    st = head.init_state(cfg)
+    kernel = head.init_kernel(jax.random.PRNGKey(5), cfg)
+    labels = jnp.arange(N) % C
+    # easy: features = their class prototype (theta ~ 0)
+    easy = jnp.take(kernel, labels, axis=1).T * 10.0
+    # hard: features orthogonal-ish to everything (random)
+    hard, _ = _inputs(seed=11)
+    s_easy = float(head.apply(cfg, kernel, easy, labels, st).state.s[0])
+    s_hard = float(head.apply(cfg, kernel, hard, labels, st).state.s[0])
+    assert s_hard > s_easy
+
+
+def test_adacos_trains_e2e():
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities)
+    from face_recognition_models_tpu.train.loop import fit
+
+    images, labels = synthetic_identities(4, 8, image_size=32, seed=0,
+                                          noise=10.0)
+    cfg = cfg_lib.TrainConfig(
+        backbone="resnet18", head="adacos", num_classes=4,
+        batch_size=16, epochs=4, seed=0,
+        data=cfg_lib.DataConfig(image_size=32),
+        optimizer=cfg_lib.OptimizerConfig(learning_rate=0.05))
+    loader = ArrayLoader(images, labels, batch_size=16, seed=0)
+    result = fit(cfg, loader, use_mesh=False)
+    assert np.isfinite(result.min_train_loss)
+    # softmax CE at C=4 starts ~ln(4)=1.39; must improve markedly
+    assert result.min_train_loss < 0.9
+    # the adaptive scale moved off its init and stayed finite
+    s = float(np.asarray(result.state.head_state.s)[0])
+    assert np.isfinite(s) and s != pytest.approx(
+        np.sqrt(2.0) * np.log(3.0), rel=1e-3)
