@@ -29,6 +29,46 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from face_recognition_models_tpu.models.iresnet import PReLU
+from face_recognition_models_tpu.ops.depthwise import (
+    depthwise_conv3x3,
+    global_depthwise,
+)
+
+
+class _ShiftDW3x3(nn.Module):
+    """Depthwise 3x3 via the ops/depthwise.py shift formulation.
+
+    Same param name ("kernel"), shape ([3, 3, 1, C]) and initializer as
+    the nn.Conv it replaces, so checkpoints swap between implementations
+    freely; only the lowering differs. Kept as a measured experiment —
+    on v5e it is SLOWER than the grouped conv (see dw_impl)."""
+
+    features: int
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, 1, self.features), jnp.float32)
+        return depthwise_conv3x3(x.astype(self.dtype), kernel,
+                                 stride=self.stride)
+
+
+class _ShiftGDConv(nn.Module):
+    """GDConv (full-spatial depthwise) via the einsum formulation."""
+
+    features: int
+    hw: tuple
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.hw[0], self.hw[1], 1, self.features), jnp.float32)
+        return global_depthwise(x.astype(self.dtype), kernel)
 
 # (expand t, out channels c, blocks n, first stride s) — paper table 1
 _MFN_SETTINGS = (
@@ -47,6 +87,7 @@ class _Bottleneck(nn.Module):
     stride: int
     expand_ratio: int
     conv: Any
+    dw: Any
     norm: Any
     dtype: Any
 
@@ -59,9 +100,7 @@ class _Bottleneck(nn.Module):
         y = self.conv(hidden, (1, 1), name="expand")(x)
         y = self.norm(name="expand_bn")(y)
         y = PReLU(hidden, name="expand_prelu")(y.astype(self.dtype))
-        y = self.conv(hidden, (3, 3), strides=(self.stride, self.stride),
-                      padding=[(1, 1), (1, 1)], feature_group_count=hidden,
-                      name="depthwise")(y)
+        y = self.dw(hidden, self.stride, name="depthwise")(y)
         y = self.norm(name="depthwise_bn")(y)
         y = PReLU(hidden, name="depthwise_prelu")(y.astype(self.dtype))
         y = self.conv(self.out_channels, (1, 1), name="project")(y)
@@ -77,6 +116,13 @@ class MobileFaceNet(nn.Module):
     # BN normalize/affine compute dtype; statistics reduce in fp32 either
     # way (flax force_float32_reductions). See models/resnet.py bn_dtype.
     bn_dtype: Any = jnp.float32
+    # depthwise lowering: "conv" = XLA grouped conv, "shift" = 9
+    # elementwise multiply-adds (ops/depthwise.py). Checkpoint-compatible
+    # either way (same param names/shapes). Default picked by measurement:
+    # on v5e the shift form is 1.9-3x SLOWER fwd+bwd at every hot shape
+    # (XLA materializes the 9 padded slices instead of fusing them;
+    # scripts/bench_depthwise.py, PERF.md "Depthwise conv").
+    dw_impl: str = "conv"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -88,8 +134,18 @@ class MobileFaceNet(nn.Module):
             raise ValueError(
                 f"MobileFaceNet needs H, W divisible by 16 (GDConv runs "
                 f"over the stride-16 map); got {x.shape[1]}x{x.shape[2]}")
+        if self.dw_impl not in ("shift", "conv"):
+            raise ValueError(f"dw_impl must be 'shift' or 'conv', got "
+                             f"{self.dw_impl!r}")
         conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                        param_dtype=jnp.float32)
+        if self.dw_impl == "shift":
+            dw = lambda ch, s, name: _ShiftDW3x3(ch, stride=s,
+                                                 dtype=self.dtype, name=name)
+        else:
+            dw = lambda ch, s, name: conv(
+                ch, (3, 3), strides=(s, s), padding=[(1, 1), (1, 1)],
+                feature_group_count=ch, name=name)
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.bn_dtype,
                        param_dtype=jnp.float32)
@@ -101,8 +157,7 @@ class MobileFaceNet(nn.Module):
                  padding=[(1, 1), (1, 1)], name="stem")(x)
         x = norm(name="stem_bn")(x)
         x = PReLU(w(64), name="stem_prelu")(x.astype(self.dtype))
-        x = conv(w(64), (3, 3), padding=[(1, 1), (1, 1)],
-                 feature_group_count=w(64), name="stem_dw")(x)
+        x = dw(w(64), 1, name="stem_dw")(x)
         x = norm(name="stem_dw_bn")(x)
         x = PReLU(w(64), name="stem_dw_prelu")(x.astype(self.dtype))
 
@@ -110,7 +165,8 @@ class MobileFaceNet(nn.Module):
             for j in range(n):
                 x = _Bottleneck(out_channels=w(ch),
                                 stride=s if j == 0 else 1,
-                                expand_ratio=t, conv=conv, norm=norm,
+                                expand_ratio=t, conv=conv, dw=dw,
+                                norm=norm,
                                 dtype=self.dtype, name=f"block{i}_{j}")(x)
 
         # conv1x1 to 512 + PReLU (paper table 1 row 8)
@@ -123,8 +179,12 @@ class MobileFaceNet(nn.Module):
         # spatial importance map — the paper's replacement for global
         # average pooling (section 3.2).
         hw = (x.shape[1], x.shape[2])
-        x = conv(w(512), hw, padding="VALID", feature_group_count=w(512),
-                 name="gdconv")(x)
+        if self.dw_impl == "shift":
+            x = _ShiftGDConv(w(512), hw, dtype=self.dtype,
+                             name="gdconv")(x)
+        else:
+            x = conv(w(512), hw, padding="VALID",
+                     feature_group_count=w(512), name="gdconv")(x)
         x = norm(name="gdconv_bn")(x)
         # linear 1x1 to the embedding; BN on the embedding, no activation
         x = conv(self.embed_dim, (1, 1), name="fc")(x)
@@ -134,6 +194,7 @@ class MobileFaceNet(nn.Module):
 
 
 def mobilefacenet(embed_dim: int = 512, dtype: Any = jnp.bfloat16,
-                  bn_dtype: Any = jnp.float32) -> MobileFaceNet:
+                  bn_dtype: Any = jnp.float32,
+                  dw_impl: str = "conv") -> MobileFaceNet:
     return MobileFaceNet(embed_dim=embed_dim, dtype=dtype,
-                         bn_dtype=bn_dtype)
+                         bn_dtype=bn_dtype, dw_impl=dw_impl)

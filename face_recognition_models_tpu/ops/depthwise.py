@@ -1,20 +1,22 @@
 """Depthwise convolutions as statically-shifted elementwise multiply-adds.
 
-XLA's grouped-conv lowering handles the depthwise *backward-filter* badly
-at face-trunk channel widths (64-256 channels): MobileFaceNet measures a
-6x bwd/fwd cost ratio where dense-conv trunks sit at ~2.5x (PERF.md).
-A depthwise 3x3 is not MXU work at all — it is 9 fused multiply-adds per
-element, pure VPU — so this module expresses it that way: pad once, take
-9 static slices, multiply-accumulate in fp32. Autodiff then yields
+MEASURED AND REJECTED as the default lowering (kept as a tested
+experiment, like ops/conv3x3.py): the hypothesis was that XLA's
+grouped-conv handles the depthwise backward badly (MobileFaceNet's 6x
+bwd/fwd step ratio, PERF.md), and that 9 static-shift multiply-adds —
+whose autodiff is all elementwise + reductions, never a grouped conv —
+would lower better. On v5e the opposite holds: XLA materializes the 9
+padded slices instead of fusing them into one pass, and the shift form
+is 1.9-3.0x SLOWER fwd+bwd at every MobileFaceNet shape, while the
+grouped-conv path already sustains 355-460 GB/s effective traffic
+(scripts/bench_depthwise.py, PERF.md "Depthwise conv"). The isolated
+grouped conv is NOT the 6x culprit.
 
-- d/dx: 9 shifted multiply-adds of dout with the flipped taps (elementwise,
-  no conv), and
-- d/dw: 9 large elementwise-mul + global reductions,
-
-none of which touch the grouped-conv path. Numerics: accumulation is fp32
-regardless of input dtype (the lax.conv path also accumulates bf16 inputs
-in fp32), result cast back to the input dtype; exact parity with
-lax.conv_general_dilated is pinned in tests/test_depthwise.py.
+Numerics: accumulation is fp32 regardless of input dtype (the lax.conv
+path also accumulates bf16 inputs in fp32), taps are rounded to the
+compute dtype first (nn.Conv semantics), result cast back to the input
+dtype; exact parity with lax.conv_general_dilated is pinned in
+tests/test_depthwise.py for values and gradients.
 
 Kernel layout matches flax nn.Conv's depthwise convention: [3, 3, 1, C]
 (HWIO with one input channel per group), so a trunk can swap

@@ -74,6 +74,36 @@ def test_global_depthwise_matches_valid_conv():
                                atol=1e-4, rtol=1e-4)
 
 
+def test_mobilefacenet_impls_checkpoint_compatible():
+    """dw_impl='shift' and 'conv' build identical param trees and give the
+    same embeddings on shared weights (swap without re-training)."""
+    from face_recognition_models_tpu.models.mobilefacenet import (
+        mobilefacenet)
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3),
+                          jnp.float32)
+    shift = mobilefacenet(embed_dim=64, dw_impl="shift")
+    conv = mobilefacenet(embed_dim=64, dw_impl="conv")
+    v = shift.init({"params": jax.random.PRNGKey(1)}, x, train=False)
+    assert (jax.tree.structure(v["params"]) ==
+            jax.tree.structure(conv.init({"params": jax.random.PRNGKey(1)},
+                                         x, train=False)["params"]))
+    out_s = conv.apply(v, x, train=False)  # conv impl on shift-init params
+    out_c = shift.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_s, np.float32),
+                               np.asarray(out_c, np.float32),
+                               atol=5e-2, rtol=5e-2)
+    cos = np.sum(np.asarray(out_s, np.float32) *
+                 np.asarray(out_c, np.float32), axis=-1) / (
+        np.linalg.norm(np.asarray(out_s, np.float32), axis=-1) *
+        np.linalg.norm(np.asarray(out_c, np.float32), axis=-1))
+    assert np.all(cos > 0.9999), cos
+
+    with pytest.raises(ValueError, match="dw_impl"):
+        mobilefacenet(dw_impl="bogus").init(
+            {"params": jax.random.PRNGKey(0)}, x, train=False)
+
+
 def test_shape_guards():
     x = jnp.zeros((2, 8, 8, 8))
     with pytest.raises(ValueError, match="kernel"):
