@@ -48,6 +48,21 @@ def build_split(classes, train_per_class, eval_per_class, image_size, seed,
     return train_x, train_y, held_x, held_y
 
 
+def _heldout_pairs(held_y, classes, eval_per_class, pairs_per_kind, seed):
+    rs = np.random.RandomState(seed + 1)
+    n = len(held_y)
+    pos, neg = [], []
+    while len(pos) < pairs_per_kind:
+        c = rs.randint(classes)
+        i, j = rs.choice(eval_per_class, 2, replace=False)
+        pos.append((c * eval_per_class + i, c * eval_per_class + j, 1))
+    while len(neg) < pairs_per_kind:
+        a, b = rs.randint(n), rs.randint(n)
+        if held_y[a] != held_y[b]:
+            neg.append((a, b, 0))
+    return np.asarray(pos + neg, np.int64)
+
+
 def verify(result, held_x, held_y, classes, eval_per_class, pairs_per_kind,
            batch, seed):
     """Held-out 10-fold Youden verification on the trained backbone."""
@@ -65,20 +80,33 @@ def verify(result, held_x, held_y, classes, eval_per_class, pairs_per_kind,
     embed = make_embed_fn(result.backbone, bb, result.state.batch_stats)
     emb = embed_unique_images(embed, held_x, batch_size=batch)
 
-    rs = np.random.RandomState(seed + 1)
-    n = len(held_y)
-    pos, neg = [], []
-    while len(pos) < pairs_per_kind:
-        c = rs.randint(classes)
-        i, j = rs.choice(eval_per_class, 2, replace=False)
-        pos.append((c * eval_per_class + i, c * eval_per_class + j, 1))
-    while len(neg) < pairs_per_kind:
-        a, b = rs.randint(n), rs.randint(n)
-        if held_y[a] != held_y[b]:
-            neg.append((a, b, 0))
-    pairs = np.asarray(pos + neg, np.int64)
+    pairs = _heldout_pairs(held_y, classes, eval_per_class, pairs_per_kind,
+                           seed)
     sims = np.sum(emb[pairs[:, 0]] * emb[pairs[:, 1]], axis=1)
     return kfold_verification(sims, pairs[:, 2])
+
+
+def _write_benchmark_dir(root, held_x, held_y, classes, eval_per_class,
+                         pairs_per_kind, seed):
+    """Materialize the held-out pairs as a <root>/heldout/{pair.list,imgs}
+    benchmark so the in-training PeriodicEvalHook (the `face train
+    --eval-every` path) evaluates the SAME protocol as verify()."""
+    import os
+
+    from PIL import Image
+
+    pairs = _heldout_pairs(held_y, classes, eval_per_class, pairs_per_kind,
+                           seed)
+    bench = os.path.join(root, "heldout")
+    imgs = os.path.join(bench, "imgs")
+    os.makedirs(imgs, exist_ok=True)
+    for i in sorted({int(v) for v in pairs[:, :2].ravel()}):
+        Image.fromarray(held_x[i]).save(os.path.join(imgs, f"{i}.jpg"),
+                                        quality=95)
+    with open(os.path.join(bench, "pair.list"), "w") as f:
+        for a, b, l in pairs:
+            f.write(f"{a} {b} {l}\n")
+    return root
 
 
 def run_stage(args, classes, epochs, lr, seed, warm_start=None,
@@ -103,8 +131,27 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
             name=args.scheduler, warmup_epochs=args.warmup_epochs),
         data=cfg_lib.DataConfig(image_size=args.image_size))
     loader = ArrayLoader(train_x, train_y, batch_size=args.batch, seed=seed)
+    hook = None
+    if getattr(args, "eval_every", 0) > 0:
+        import tempfile
+
+        from face_recognition_models_tpu.evaluation.periodic import (
+            PeriodicEvalHook)
+        from face_recognition_models_tpu.models import get_backbone
+        root = _write_benchmark_dir(
+            tempfile.mkdtemp(prefix="convbench_"), held_x, held_y, classes,
+            args.eval_per_class, args.pairs_per_kind, seed)
+        import jax.numpy as jnp
+        hook = PeriodicEvalHook(
+            get_backbone(args.backbone,
+                         bn_dtype=jnp.dtype(args.bn_dtype)),
+            root, ["heldout"], every=args.eval_every,
+            image_size=args.image_size, batch_size=args.batch,
+            total_epochs=epochs, use_ema=args.model_ema > 0.0,
+            verbose=True)
     t0 = time.time()
-    result = fit(cfg, loader, use_mesh=False, warm_start=warm_start)
+    result = fit(cfg, loader, use_mesh=False, warm_start=warm_start,
+                 hooks=hook)
     train_s = time.time() - t0
 
     res = verify(result, held_x, held_y, classes, args.eval_per_class,
@@ -121,7 +168,13 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
         "std_accuracy": round(res.std_accuracy, 3),
         "mean_auc": round(res.mean_auc, 5),
         "min_train_loss": round(result.min_train_loss, 4),
-        "train_seconds": round(train_s, 1)}), flush=True)
+        "train_seconds": round(train_s, 1),
+        **({"eval_every": args.eval_every,
+            "val_curve": [round(r["heldout"].mean_accuracy, 3)
+                          for _, r in hook.history],
+            "best_val_acc": round(hook.best_acc, 3),
+            "best_val_epoch": hook.best_epoch} if hook else {}),
+        }), flush=True)
     return result
 
 
@@ -147,6 +200,11 @@ def main():
     ap.add_argument("--partial-fc", type=float, default=0.0)
     ap.add_argument("--model-ema", type=float, default=0.0)
     ap.add_argument("--pairs-per-kind", type=int, default=1000)
+    ap.add_argument("--eval-every", type=int, default=0,
+                    help="run the held-out verification DURING training "
+                    "every N epochs via PeriodicEvalHook (the `face train "
+                    "--eval-every` machinery); reports the per-epoch curve "
+                    "and best-epoch accuracy")
     ap.add_argument("--print-freq", type=int, default=100)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
