@@ -109,6 +109,26 @@ def test_hook_evaluates_and_tracks_best(tmp_path, bench_root, dataset):
     assert np.all(np.isfinite(np.asarray(emb, np.float32)))
 
 
+@pytest.mark.slow
+def test_hook_on_mesh_sharded_state(bench_root, dataset):
+    """The hook evaluates a mesh-sharded train state (DP x class-TP fit):
+    its plain jitted eval step must accept NamedSharding'd params."""
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.parallel import make_mesh
+
+    images, labels = dataset
+    loader = ArrayLoader(images, labels, batch_size=BS, seed=0)
+    cfg = _cfg(epochs=2, mesh=cfg_lib.MeshConfig(data=4, model=2))
+    mesh = make_mesh(cfg.mesh)
+    hook = PeriodicEvalHook(get_backbone("resnet18"), bench_root, ["lfw"],
+                            every=1, image_size=IMG, batch_size=16,
+                            total_epochs=cfg.epochs, verbose=False)
+    fit(cfg, loader, use_mesh=True, mesh=mesh, hooks=hook)
+    assert [e for e, _ in hook.history] == [1, 2]
+    assert all(np.isfinite(r["lfw"].mean_accuracy)
+               for _, r in hook.history)
+
+
 def test_hook_respects_every_and_final(bench_root):
     """Cadence math only — no training. A stub state via init params."""
     import jax
