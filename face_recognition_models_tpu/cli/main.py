@@ -75,7 +75,11 @@ def _add_train_parser(sub):
                         "(the reference trains from ImageNet-pretrained "
                         "torchvision weights; resnet18/resnet50/"
                         "efficientnet_b0/mobilenet_v2)")
-    p.add_argument("--dataset-path", default=os.environ.get("DATASET_PATH", ""))
+    p.add_argument("--dataset-path", default=os.environ.get("DATASET_PATH", ""),
+                   help="identity tree root, a `face pack` dir, or an "
+                        "insightface RecordIO set (train.rec/.idx: pass "
+                        "the .rec/.idx path, their prefix, or a dir "
+                        "holding train.rec)")
     p.add_argument("--working-path", default=os.environ.get("WORKING_PATH",
                                                             "./working"))
     p.add_argument("--model-save-path", default=None,
@@ -229,7 +233,20 @@ def cmd_train(args) -> int:
             print(f"error: batch_size {cfg.batch_size} must divide across "
                   f"{n_proc} hosts", file=sys.stderr)
             return 2
-        if is_packed_dir(args.dataset_path):
+        from face_recognition_models_tpu.data.recordio import (
+            RecLoader, RecordIODataset, is_recordio)
+        if is_recordio(args.dataset_path):
+            # insightface-ecosystem train.rec/train.idx (data/recordio.py)
+            rec = RecordIODataset.open(args.dataset_path)
+            if rec.num_identities > args.num_classes:
+                print(f"error: rec has {rec.num_identities} identities "
+                      f"> --num-classes {args.num_classes}", file=sys.stderr)
+                return 2
+            loader = RecLoader(rec, batch_size=cfg.batch_size // n_proc,
+                               image_size=cfg.data.image_size,
+                               num_workers=cfg.data.num_workers,
+                               seed=cfg.seed, shard=shard)
+        elif is_packed_dir(args.dataset_path):
             # pre-decoded pack from `face pack`: no JPEG work on the host
             packed = PackedDataset.open(args.dataset_path)
             if packed.num_identities > args.num_classes:
@@ -368,7 +385,8 @@ def _add_eval_parser(sub):
                    help="evaluate one model (else all found)")
     p.add_argument("--backbone", default="resnet18")
     p.add_argument("--eval-data-path", required=True,
-                   help="dir with <benchmark>/{pair.list,imgs}")
+                   help="dir with <benchmark>/{pair.list,imgs} or "
+                        "insightface-format <benchmark>.bin files")
     p.add_argument("--benchmarks", default=",".join(cfg_lib.EVAL_BENCHMARKS))
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--num-classes", type=int,
@@ -441,7 +459,8 @@ def _add_pack_parser(sub):
     p.add_argument("--dataset-path", required=True,
                    help="identity tree root (same layouts as train: "
                         "<root>/CASIA-WebFace[/{train,valid}]/<id>/*.jpg, "
-                        "or a bare <root>/<id>/*.jpg tree)")
+                        "a bare <root>/<id>/*.jpg tree, or an insightface "
+                        "RecordIO train.rec/.idx set)")
     p.add_argument("--output", required=True, metavar="DIR")
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
     p.add_argument("--num-workers", type=int, default=8)
@@ -452,7 +471,27 @@ def _add_pack_parser(sub):
 
 def cmd_pack(args) -> int:
     from face_recognition_models_tpu.data import ImageFolderIndex
-    from face_recognition_models_tpu.data.packed import pack_dataset
+    from face_recognition_models_tpu.data.packed import (
+        pack_dataset, pack_from_loader)
+    from face_recognition_models_tpu.data.recordio import (
+        RecLoader, RecordIODataset, is_recordio)
+
+    if is_recordio(args.dataset_path):
+        rec = RecordIODataset.open(args.dataset_path)
+        loader = RecLoader(rec, batch_size=min(1024, len(rec)),
+                           image_size=args.image_size, shuffle=False,
+                           num_workers=args.num_workers,
+                           drop_remainder=False)
+        t0 = time.time()
+        meta = pack_from_loader(loader, rec.identities, args.output,
+                                args.image_size, decode_backend="pil",
+                                progress_every=50_000)
+        dt = time.time() - t0
+        print(f"packed {meta['num_samples']} images from RecordIO "
+              f"({len(meta['identities'])} identities) in {dt:.0f}s; "
+              f"{meta['skipped_images']} corrupt resampled -> "
+              f"{args.output}")
+        return 0
 
     root = os.path.join(args.dataset_path, "CASIA-WebFace")
     if not os.path.isdir(root):

@@ -9,8 +9,12 @@ from face_recognition_models_tpu.data.packed import (
     pack_dataset,
 )
 from face_recognition_models_tpu.data.pipeline import Loader
+from face_recognition_models_tpu.data.recordio import (
+    RecLoader,
+    RecordIODataset,
+)
 from face_recognition_models_tpu.data.sampler import PKBatchSampler
 
 __all__ = ["ImageFolderIndex", "load_pair_list", "pair_image_names",
            "Loader", "PKBatchSampler", "PackedDataset", "PackedLoader",
-           "pack_dataset"]
+           "pack_dataset", "RecLoader", "RecordIODataset"]

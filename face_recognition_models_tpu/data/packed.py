@@ -57,13 +57,26 @@ def pack_dataset(index: ImageFolderIndex, out_dir: str,
     Corrupt images are resampled by the Loader's static-shape policy, so
     the pack always holds exactly len(index) valid samples.
     """
-    os.makedirs(out_dir, exist_ok=True)
     n = len(index)
     if n == 0:
         raise ValueError("empty index")
     loader = Loader(index, batch_size=min(1024, n), image_size=image_size,
                     shuffle=False, num_workers=num_workers,
                     drop_remainder=False, backend=backend)
+    return pack_from_loader(loader, index.identities, out_dir,
+                            image_size, decode_backend=loader.backend,
+                            progress_every=progress_every)
+
+
+def pack_from_loader(loader, identities, out_dir: str, image_size: int,
+                     decode_backend: str = "pil",
+                     progress_every: int = 0) -> dict:
+    """Write a packed dir from any Loader-contract source (folder Loader,
+    RecordIO RecLoader, ...): the loader's epoch(0) must be an unshuffled
+    full pass with drop_remainder=False."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = len(loader.dataset) if hasattr(loader, "dataset") \
+        else len(loader.index)
     mm = np.memmap(os.path.join(out_dir, _IMAGES), dtype=np.uint8,
                    mode="w+", shape=(n, image_size, image_size, 3))
     labels = np.empty((n,), np.int32)
@@ -82,8 +95,8 @@ def pack_dataset(index: ImageFolderIndex, out_dir: str,
         "format_version": _FORMAT_VERSION,
         "num_samples": n,
         "image_size": image_size,
-        "identities": index.identities,
-        "decode_backend": loader.backend,
+        "identities": list(identities),
+        "decode_backend": decode_backend,
         "skipped_images": loader.skipped_images,
     }
     with open(os.path.join(out_dir, _META), "w") as f:

@@ -81,6 +81,32 @@ def _load_benchmark_images(pairs: np.ndarray, imgs_dir: str,
     return out
 
 
+def load_benchmark(eval_root: str, benchmark: str, image_size: int = 112
+                   ) -> tuple:
+    """(pairs [P,3], unique image stack [U,H,W,3], id_to_row dict) for one
+    benchmark in either on-disk form: the reference's
+    `<root>/<bench>/{pair.list,imgs}` directory layout, or the insightface
+    ecosystem's packed `<bench>.bin` (data/pairs.load_bin) — checked in
+    that order so an unpacked copy wins when both exist."""
+    from face_recognition_models_tpu.data.pairs import bin_path, load_bin
+
+    pairs_file, imgs_dir = benchmark_paths(eval_root, benchmark)
+    if os.path.isfile(pairs_file):
+        pairs = load_pair_list(pairs_file)
+        images_by_id = _load_benchmark_images(pairs, imgs_dir, image_size)
+        ids = sorted(images_by_id)
+        id_to_row = {i: r for r, i in enumerate(ids)}
+        stack = np.stack([images_by_id[i] for i in ids])
+        return pairs, stack, id_to_row
+    packed = bin_path(eval_root, benchmark)
+    if packed is None:
+        raise FileNotFoundError(
+            f"benchmark '{benchmark}' not found under {eval_root!r}: "
+            f"neither {pairs_file} nor a .bin form exists")
+    stack, pairs = load_bin(packed, image_size)
+    return pairs, stack, {i: i for i in range(len(stack))}
+
+
 def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
                                 image_size: int = 112,
                                 batch_size: int = 256,
@@ -90,12 +116,8 @@ def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
     """Returns VerificationResult, or (VerificationResult, {far: tpr})
     when `fars` is non-empty (TPR@FAR over the full pair list —
     evaluation/openset.py; beyond the reference's accuracy/AUC)."""
-    pairs_file, imgs_dir = benchmark_paths(eval_root, benchmark)
-    pairs = load_pair_list(pairs_file)
-    images_by_id = _load_benchmark_images(pairs, imgs_dir, image_size)
-    ids = sorted(images_by_id)
-    id_to_row = {i: r for r, i in enumerate(ids)}
-    stack = np.stack([images_by_id[i] for i in ids])
+    pairs, stack, id_to_row = load_benchmark(eval_root, benchmark,
+                                             image_size)
     emb = embed_unique_images(embed_fn, stack, batch_size)
     sims = pair_cosine_similarities(emb, pairs, id_to_row)
     if protocol == "device":

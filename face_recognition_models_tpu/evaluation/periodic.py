@@ -26,10 +26,6 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from face_recognition_models_tpu.data.pairs import (
-    benchmark_paths,
-    load_pair_list,
-)
 from face_recognition_models_tpu.evaluation.verification import (
     embed_unique_images,
     kfold_verification,
@@ -59,7 +55,7 @@ class PeriodicEvalHook:
         import jax
 
         from face_recognition_models_tpu.evaluation.batch_eval import (
-            _load_benchmark_images,
+            load_benchmark,
         )
         from face_recognition_models_tpu.train.step import make_eval_step
 
@@ -76,21 +72,17 @@ class PeriodicEvalHook:
         self._jit_step = jax.jit(make_eval_step(backbone))
 
         # Preload once: {bench: (pairs [P,3] int, stack [U,H,W,3] u8,
-        # id_to_row)}. Missing benchmarks warn-and-skip like the
-        # reference's evaluate_models.py:73-77.
+        # id_to_row)} — directory or .bin form (batch_eval.load_benchmark).
+        # Missing benchmarks warn-and-skip like the reference's
+        # evaluate_models.py:73-77.
         self._data = {}
         for bench in benchmarks:
             try:
-                pairs_file, imgs_dir = benchmark_paths(eval_root, bench)
-                pairs = load_pair_list(pairs_file)
-                by_id = _load_benchmark_images(pairs, imgs_dir, image_size)
+                self._data[bench] = load_benchmark(eval_root, bench,
+                                                   image_size)
             except FileNotFoundError as e:
                 print(f"[eval-every] skip benchmark {bench}: {e}")
                 continue
-            ids = sorted(by_id)
-            id_to_row = {i: r for r, i in enumerate(ids)}
-            stack = np.stack([by_id[i] for i in ids])
-            self._data[bench] = (pairs, stack, id_to_row)
         if not self._data:
             raise FileNotFoundError(
                 f"no benchmarks found under {eval_root!r} "
