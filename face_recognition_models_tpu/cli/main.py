@@ -690,6 +690,14 @@ def _add_serve_parser(sub):
                    help="max time to wait for co-arriving requests")
     p.add_argument("--gallery", default=None, metavar="GALLERY.npz",
                    help="`face embed` output enabling POST /identify")
+    p.add_argument("--align", action="store_true",
+                   help="detect+align full photos before embedding "
+                        "(MTCNN cascade; enables POST /detect; no-face "
+                        "requests fall back to center-crop with "
+                        "aligned=false in the response)")
+    p.add_argument("--mtcnn-weights", default=None, metavar="DIR",
+                   help="facenet_pytorch pnet.pt/rnet.pt/onet.pt dir "
+                        "for --align")
     return p
 
 
@@ -700,7 +708,8 @@ def cmd_serve(args) -> int:
         backbone=args.backbone, which=args.which,
         image_size=args.image_size, host=args.host, port=args.port,
         micro_batch=args.micro_batch, max_wait_ms=args.max_wait_ms,
-        gallery=args.gallery)
+        gallery=args.gallery, align=args.align,
+        mtcnn_weights=args.mtcnn_weights)
 
 
 def _add_identify_parser(sub):

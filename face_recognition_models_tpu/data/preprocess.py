@@ -40,9 +40,38 @@ def _find_facenet_pytorch_weights() -> Optional[str]:
     return None
 
 
-def _build_mtcnn(image_size: int, weights_dir: Optional[str] = None):
-    """Native JAX cascade when weights are available, else the
-    facenet_pytorch detector, else None (fallback)."""
+class _FacenetPytorchAdapter:
+    """facenet_pytorch MTCNN behind the native cascade's detect/extract
+    contract (detection/mtcnn.py), for hosts that have the package but no
+    extracted weight files."""
+
+    def __init__(self, det, image_size: int):
+        self._det = det
+        self.image_size = image_size
+
+    def detect(self, image):
+        import numpy as _np
+        boxes, probs, landmarks = self._det.detect(_np.asarray(image),
+                                                   landmarks=True)
+        if boxes is None:
+            return (_np.zeros((0, 4)), _np.zeros((0,)),
+                    _np.zeros((0, 5, 2)))
+        return (_np.asarray(boxes, _np.float32),
+                _np.asarray(probs, _np.float32),
+                _np.asarray(landmarks, _np.float32))
+
+    def extract(self, image):
+        face = self._det(image)
+        if face is None:
+            return None
+        return face.permute(1, 2, 0).byte().numpy()
+
+
+def build_detector(image_size: int, weights_dir: Optional[str] = None):
+    """An object with `.detect(img) -> (boxes, probs, landmarks)` and
+    `.extract(img) -> Optional[uint8 [S,S,3]]` — the native JAX cascade
+    when weights are available, else a facenet_pytorch adapter, else None.
+    Shared by offline preprocessing and the serving daemon's --align."""
     weights_dir = weights_dir or _find_facenet_pytorch_weights()
     if weights_dir is not None:
         from face_recognition_models_tpu.detection import (
@@ -50,9 +79,8 @@ def _build_mtcnn(image_size: int, weights_dir: Optional[str] = None):
             load_facenet_pytorch_weights,
         )
         params = load_facenet_pytorch_weights(weights_dir)
-        det = JaxMTCNN(params, image_size=image_size, min_face_size=20,
-                       thresholds=(0.5, 0.7, 0.7), factor=0.709)
-        return lambda im: det.extract(np.asarray(im))
+        return JaxMTCNN(params, image_size=image_size, min_face_size=20,
+                        thresholds=(0.5, 0.7, 0.7), factor=0.709)
     try:
         import torch
         from facenet_pytorch import MTCNN
@@ -60,15 +88,17 @@ def _build_mtcnn(image_size: int, weights_dir: Optional[str] = None):
         det = MTCNN(image_size=image_size, margin=0, min_face_size=20,
                     thresholds=[0.5, 0.7, 0.7], factor=0.709,
                     post_process=False, device=device)
-
-        def run(im):
-            face = det(im)
-            if face is None:
-                return None
-            return face.permute(1, 2, 0).byte().numpy()
-        return run
+        return _FacenetPytorchAdapter(det, image_size)
     except ImportError:
         return None
+
+
+def _build_mtcnn(image_size: int, weights_dir: Optional[str] = None):
+    """extract-callable form of build_detector (None when unavailable)."""
+    det = build_detector(image_size, weights_dir)
+    if det is None:
+        return None
+    return lambda im: det.extract(np.asarray(im))
 
 
 def _center_crop_resize(im, size: int):

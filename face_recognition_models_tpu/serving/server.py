@@ -133,8 +133,14 @@ class EmbedService:
 
     def __init__(self, embed_fn: Callable, image_size: int,
                  batch_size: int = 8, max_wait_ms: float = 5.0,
-                 gallery_path: Optional[str] = None):
+                 gallery_path: Optional[str] = None,
+                 detector=None):
+        """`detector`: optional detect/extract object
+        (data/preprocess.build_detector) — requests then carry full
+        photos and the service detects+aligns before embedding; without
+        it, inputs are assumed pre-aligned (resized only)."""
         self.image_size = int(image_size)
+        self.detector = detector
         # warm the compile at startup with the exact serving shape
         probe = np.zeros((batch_size, image_size, image_size, 3), np.uint8)
         self.embed_dim = int(np.asarray(embed_fn(probe)).shape[-1])
@@ -150,21 +156,55 @@ class EmbedService:
                     f"gallery dim {self.gallery_emb.shape[1]} != model "
                     f"embed dim {self.embed_dim}")
 
-    def decode(self, data: bytes) -> np.ndarray:
+    def decode(self, data: bytes, full: bool = False) -> np.ndarray:
         from PIL import Image
         with Image.open(io.BytesIO(data)) as im:
             im = im.convert("RGB")
-            if im.size != (self.image_size, self.image_size):
+            if not full and im.size != (self.image_size, self.image_size):
                 im = im.resize((self.image_size, self.image_size))
             return np.asarray(im, np.uint8)
 
+    def _align(self, data: bytes):
+        """(aligned uint8 [S,S,3], aligned?: bool). With a detector, crop
+        the best face from the full photo; no face -> center-crop+resize
+        fallback, flagged in the response (the offline preprocess
+        fallback, data/preprocess.py / reference preprocess.py:42-44)."""
+        if self.detector is None:
+            return self.decode(data), None
+        img = self.decode(data, full=True)
+        face = self.detector.extract(img)
+        if face is not None:
+            return np.asarray(face, np.uint8), True
+        h, w = img.shape[:2]
+        s = min(h, w)
+        top, left = (h - s) // 2, (w - s) // 2
+        crop = img[top:top + s, left:left + s]
+        from PIL import Image
+        crop = np.asarray(Image.fromarray(crop).resize(
+            (self.image_size, self.image_size)), np.uint8)
+        return crop, False
+
     def embed_bytes(self, data: bytes) -> dict:
-        raw = self.batcher.submit(self.decode(data))
+        img, aligned = self._align(data)
+        raw = self.batcher.submit(img)
         norm = float(np.linalg.norm(raw))
         unit = raw / max(norm, 1e-12)
-        return {"embedding": [float(x) for x in unit],
-                "norm": norm,
-                "quality": float(norm_quality(np.asarray([norm]))[0])}
+        out = {"embedding": [float(x) for x in unit],
+               "norm": norm,
+               "quality": float(norm_quality(np.asarray([norm]))[0])}
+        if aligned is not None:
+            out["aligned"] = aligned
+        return out
+
+    def detect_bytes(self, data: bytes) -> dict:
+        """All faces in a full photo: boxes/probs/5-point landmarks."""
+        if self.detector is None:
+            raise LookupError("no detector loaded (start with --align)")
+        img = self.decode(data, full=True)
+        boxes, probs, landmarks = self.detector.detect(img)
+        return {"boxes": np.asarray(boxes).round(2).tolist(),
+                "probs": np.asarray(probs).round(4).tolist(),
+                "landmarks": np.asarray(landmarks).round(2).tolist()}
 
     def identify_bytes(self, data: bytes, top_k: int = 5) -> dict:
         if self.gallery_emb is None:
@@ -180,6 +220,7 @@ class EmbedService:
     def health(self) -> dict:
         return {"status": "ok", "image_size": self.image_size,
                 "embed_dim": self.embed_dim,
+                "align": self.detector is not None,
                 "gallery_size": (0 if self.gallery_emb is None
                                  else len(self.gallery_emb)),
                 **self.batcher.stats()}
@@ -220,6 +261,8 @@ class _Handler(BaseHTTPRequestHandler):
                 top_k = int(q.get("top_k", ["5"])[0])
                 return self._json(200,
                                   self.service.identify_bytes(data, top_k))
+            if parsed.path == "/detect":
+                return self._json(200, self.service.detect_bytes(data))
             return self._json(404, {"error": f"unknown path {parsed.path}"})
         except LookupError as e:
             self._json(409, {"error": str(e)})
@@ -240,7 +283,9 @@ def run_serve_cli(model_path: Optional[str] = None,
                   image_size: int = 112, host: str = "127.0.0.1",
                   port: int = 8000, micro_batch: int = 8,
                   max_wait_ms: float = 5.0,
-                  gallery: Optional[str] = None) -> int:
+                  gallery: Optional[str] = None,
+                  align: bool = False,
+                  mtcnn_weights: Optional[str] = None) -> int:
     """Load the model the same way `face embed` does, then serve forever."""
     if model_path is not None:
         from face_recognition_models_tpu.serving.export import load_embedder
@@ -268,13 +313,25 @@ def run_serve_cli(model_path: Optional[str] = None,
         print("error: provide --model or --checkpoint-dir")
         return 2
 
+    detector = None
+    if align:
+        from face_recognition_models_tpu.data.preprocess import (
+            build_detector)
+        detector = build_detector(image_size, weights_dir=mtcnn_weights)
+        if detector is None:
+            print("WARNING: --align requested but no MTCNN weights are "
+                  "available — serving WITHOUT detection (inputs treated "
+                  "as pre-aligned; /detect disabled). Provide "
+                  "--mtcnn-weights <dir with pnet.pt/rnet.pt/onet.pt> or "
+                  "install facenet_pytorch.")
     service = EmbedService(embed_fn, image_size, micro_batch, max_wait_ms,
-                           gallery_path=gallery)
+                           gallery_path=gallery, detector=detector)
     server = make_server(service, host, port)
     h = service.health()
     print(f"serving on http://{server.server_address[0]}:"
           f"{server.server_address[1]} — {h['embed_dim']}-d embeddings, "
           f"micro-batch {micro_batch} (wait {max_wait_ms} ms), "
+          f"align {'on' if h['align'] else 'off'}, "
           f"gallery {h['gallery_size']} images")
     try:
         server.serve_forever()

@@ -190,3 +190,94 @@ def test_http_identify_with_gallery(served, tmp_path):
     with pytest.raises(ValueError, match="dim"):
         EmbedService(embed_fn, IMG, batch_size=4,
                      gallery_path=str(tmp_path / "bad.npz"))
+
+
+# --- detect + align serving path (serving/server.py detector wiring) --------
+
+class _StubDetector:
+    """Duck-typed detector (the build_detector contract,
+    data/preprocess.py): extract = top-left IMGxIMG corner of the photo."""
+
+    def __init__(self, find=True):
+        self.find = find
+
+    def detect(self, img):
+        if not self.find:
+            return (np.zeros((0, 4)), np.zeros((0,)), np.zeros((0, 5, 2)))
+        return (np.asarray([[2.0, 3.0, 2.0 + IMG, 3.0 + IMG]]),
+                np.asarray([0.97]),
+                np.asarray([[[float(i), float(i + 1)] for i in range(5)]]))
+
+    def extract(self, img):
+        if not self.find:
+            return None
+        return np.asarray(img)[:IMG, :IMG]
+
+
+def _served_with(embed_fn, detector):
+    svc = EmbedService(embed_fn, IMG, batch_size=4, max_wait_ms=1.0,
+                       detector=detector)
+    srv = make_server(svc, port=0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    return svc, srv, f"http://127.0.0.1:{srv.server_address[1]}"
+
+
+def test_http_detect_and_aligned_embed(served):
+    _, _, embed_fn = served
+    svc, srv, url = _served_with(embed_fn, _StubDetector(find=True))
+    try:
+        rs = np.random.RandomState(3)
+        photo = rs.randint(0, 256, (2 * IMG, 2 * IMG, 3), dtype=np.uint8)
+
+        det = _post(url + "/detect", _jpeg_bytes(photo))
+        assert det["boxes"] == [[2.0, 3.0, 2.0 + IMG, 3.0 + IMG]]
+        assert det["probs"] == [0.97]
+        assert np.asarray(det["landmarks"]).shape == (1, 5, 2)
+
+        out = _post(url + "/embed", _jpeg_bytes(photo))
+        assert out["aligned"] is True
+        direct = np.array(embed_fn(photo[None, :IMG, :IMG]),
+                          np.float32)[0]
+        direct /= np.linalg.norm(direct)
+        np.testing.assert_allclose(np.asarray(out["embedding"], np.float32),
+                                   direct, atol=2e-3)
+
+        with urllib.request.urlopen(url + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["align"] is True
+    finally:
+        srv.shutdown()
+        svc.close()
+
+
+def test_align_no_face_falls_back_center_crop(served):
+    _, _, embed_fn = served
+    svc, srv, url = _served_with(embed_fn, _StubDetector(find=False))
+    try:
+        rs = np.random.RandomState(4)
+        photo = rs.randint(0, 256, (3 * IMG, 2 * IMG, 3), dtype=np.uint8)
+        out = _post(url + "/embed", _jpeg_bytes(photo))
+        assert out["aligned"] is False
+        # the documented fallback: center square crop, resized to IMG
+        from PIL import Image
+        s = 2 * IMG
+        crop = photo[(3 * IMG - s) // 2:(3 * IMG + s) // 2, :s]
+        crop = np.asarray(Image.fromarray(crop).resize((IMG, IMG)),
+                          np.uint8)
+        direct = np.array(embed_fn(crop[None]), np.float32)[0]
+        direct /= np.linalg.norm(direct)
+        np.testing.assert_allclose(np.asarray(out["embedding"], np.float32),
+                                   direct, atol=2e-3)
+    finally:
+        srv.shutdown()
+        svc.close()
+
+
+def test_detect_without_detector_409_and_no_aligned_key(served):
+    url, service, _ = served
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/detect", _jpeg_bytes(np.zeros((IMG, IMG, 3),
+                                                    np.uint8)))
+    assert e.value.code == 409
+    out = _post(url + "/embed", _jpeg_bytes(np.zeros((IMG, IMG, 3),
+                                                     np.uint8)))
+    assert "aligned" not in out  # pre-aligned mode: no alignment claim
