@@ -89,16 +89,26 @@ def read_record(buf, offset: int) -> Tuple[np.ndarray, bytes]:
     return labels, payload
 
 
-def _read_header_label(buf, offset: int) -> np.ndarray:
-    """Label(s) of the record at `offset` without copying the payload."""
+def _read_header(buf, offset: int) -> Tuple[np.ndarray, int, int]:
+    """(labels, payload offset, payload length) of the record at `offset`,
+    without copying the payload."""
     magic, lrec = _LREC.unpack_from(buf, offset)
     if magic != _MAGIC:
         raise ValueError(f"bad RecordIO magic at offset {offset}")
+    length = lrec & ((1 << 29) - 1)
     flag, label, _id, _id2 = _HEADER.unpack_from(buf, offset + 8)
     if flag > 0:
-        return np.frombuffer(
+        labels = np.frombuffer(
             bytes(buf[offset + 32:offset + 32 + 4 * flag]), np.float32)
-    return np.asarray([label], np.float32)
+    else:
+        labels = np.asarray([label], np.float32)
+    head = 24 + 4 * flag
+    return labels, offset + 8 + head, length - head
+
+
+def _read_header_label(buf, offset: int) -> np.ndarray:
+    """Label(s) of the record at `offset` without copying the payload."""
+    return _read_header(buf, offset)[0]
 
 
 def write_recordio(prefix: str, payloads: Sequence[bytes],
@@ -198,13 +208,19 @@ class RecordIODataset:
     """
 
     def __init__(self, prefix: str, keys: np.ndarray, offsets: np.ndarray,
-                 labels: np.ndarray, num_identities: int):
+                 labels: np.ndarray, num_identities: int,
+                 payload_offsets: Optional[np.ndarray] = None,
+                 payload_lengths: Optional[np.ndarray] = None):
         self.prefix = prefix
         self.rec_path = prefix + ".rec"
         self.keys = keys
         self.offsets = offsets
         self.labels = labels
         self.num_identities = num_identities
+        # absolute byte ranges of each image's encoded payload inside the
+        # .rec (lets the native decoder read straight off the mmap)
+        self.payload_offsets = payload_offsets
+        self.payload_lengths = payload_lengths
         # pack/meta compatibility with ImageFolderIndex
         self.identities = [str(i) for i in range(num_identities)]
 
@@ -236,12 +252,16 @@ class RecordIODataset:
         keys.sort()
         offsets = np.asarray([idx[k] for k in keys], np.int64)
         labels = np.empty((len(keys),), np.int32)
+        p_offs = np.empty((len(keys),), np.int64)
+        p_lens = np.empty((len(keys),), np.int64)
         for row, off in enumerate(offsets):
-            labels[row] = int(_read_header_label(buf, int(off))[0])
+            lab, po, pl = _read_header(buf, int(off))
+            labels[row] = int(lab[0])
+            p_offs[row], p_lens[row] = po, pl
         if num_identities == 0:
             num_identities = int(labels.max()) + 1 if len(labels) else 0
         return cls(prefix, np.asarray(keys, np.int64), offsets, labels,
-                   num_identities)
+                   num_identities, p_offs, p_lens)
 
 
 # --------------------------------------------------------------------------
@@ -276,7 +296,11 @@ class RecLoader:
                  image_size: int = 112, shuffle: bool = True, seed: int = 0,
                  num_workers: int = 8, drop_remainder: bool = True,
                  prefetch: int = 2,
-                 shard: Optional[Tuple[int, int]] = None):
+                 shard: Optional[Tuple[int, int]] = None,
+                 backend: str = "auto"):
+        """backend: 'native' = C++ threaded libjpeg straight off the .rec
+        mmap (native/fastdecode.decode_batch_mem), 'pil' = thread-pool PIL
+        over payload bytes, 'auto' = native when it builds."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.image_size = image_size
@@ -292,6 +316,17 @@ class RecLoader:
         self.shard = shard
         self.skipped_images = 0
         self._mm = np.memmap(dataset.rec_path, dtype=np.uint8, mode="r")
+        if backend == "auto":
+            from face_recognition_models_tpu.native import is_available
+            backend = "native" if (is_available()
+                                   and dataset.payload_offsets is not None
+                                   ) else "pil"
+        if backend not in ("native", "pil"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend == "native" and dataset.payload_offsets is None:
+            raise ValueError("native backend needs payload offsets "
+                             "(RecordIODataset.open provides them)")
+        self.backend = backend
 
     def _shard_len(self) -> int:
         n = len(self.dataset)
@@ -322,6 +357,43 @@ class RecLoader:
 
     def _load_batch(self, pool: cf.ThreadPoolExecutor, idxs: np.ndarray,
                     rng: random.Random) -> Tuple[np.ndarray, np.ndarray]:
+        if self.backend == "native":
+            return self._load_batch_native(idxs, rng)
+        return self._load_batch_pil(pool, idxs, rng)
+
+    def _load_batch_native(self, idxs: np.ndarray, rng: random.Random
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+        from face_recognition_models_tpu.native import decode_batch_mem
+
+        ds = self.dataset
+        n = len(ds)
+        idxs = np.array(idxs)
+        images, status = decode_batch_mem(
+            self._mm, ds.payload_offsets[idxs], ds.payload_lengths[idxs],
+            self.image_size, n_threads=self.num_workers)
+        # resample failed slots (static-shape policy), PIL as last resort
+        for _attempt in range(4):
+            bad = np.flatnonzero(status)
+            if not len(bad):
+                break
+            self.skipped_images += len(bad)
+            for slot in bad:
+                idxs[slot] = rng.randrange(n)
+            retry, status_r = decode_batch_mem(
+                self._mm, ds.payload_offsets[idxs[bad]],
+                ds.payload_lengths[idxs[bad]], self.image_size,
+                n_threads=self.num_workers)
+            images[bad] = retry
+            status[:] = 0
+            status[bad] = status_r
+        for slot in np.flatnonzero(status):
+            arr = self._decode_row(int(idxs[slot]))
+            images[slot] = (arr if arr is not None else 0)
+        return images, ds.labels[idxs]
+
+    def _load_batch_pil(self, pool: cf.ThreadPoolExecutor,
+                        idxs: np.ndarray, rng: random.Random
+                        ) -> Tuple[np.ndarray, np.ndarray]:
         n = len(self.dataset)
         images = np.empty((len(idxs), self.image_size, self.image_size, 3),
                           np.uint8)

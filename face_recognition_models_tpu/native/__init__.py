@@ -8,7 +8,8 @@ libjpeg fall back to the PIL path automatically (data/pipeline.py).
 
 from face_recognition_models_tpu.native.fastdecode import (
     decode_batch,
+    decode_batch_mem,
     is_available,
 )
 
-__all__ = ["decode_batch", "is_available"]
+__all__ = ["decode_batch", "decode_batch_mem", "is_available"]

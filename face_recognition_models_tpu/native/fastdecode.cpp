@@ -14,6 +14,13 @@
 //                       int* status, int n_threads);
 //     status[i]: 0 ok, nonzero = decode error (caller resamples).
 //     returns number of failures.
+//   int fd_decode_batch_mem(const unsigned char* blob,
+//                           const long long* offsets,
+//                           const long long* lengths, int n,
+//                           int out_size, unsigned char* out,
+//                           int* status, int n_threads);
+//     same, decoding JPEG byte ranges of one in-memory blob (an mmap'd
+//     RecordIO .rec file: offsets point at each record's image payload).
 
 #include <cstdio>   // must precede jpeglib.h (it needs FILE)
 #include <cstddef>
@@ -68,6 +75,57 @@ void resize_bilinear(const unsigned char* src, int h, int w,
   }
 }
 
+// Shared post-src decode: header -> scanlines -> resize into `out`.
+// Caller owns create/destroy and the active setjmp; `full`/`row` scratch
+// live in the caller's frame so a longjmp cannot leak them.
+int decode_from_src(jpeg_decompress_struct* cinfo, int out_size,
+                    unsigned char* out, std::vector<unsigned char>& full,
+                    std::vector<unsigned char>& row) {
+  if (jpeg_read_header(cinfo, TRUE) != JPEG_HEADER_OK) {
+    return 1;
+  }
+  cinfo->out_color_space = JCS_RGB;
+  // libjpeg can downscale by M/8 during decode — pick the smallest scale
+  // that still covers the target (big win for large sources).
+  jpeg_calc_output_dimensions(cinfo);
+  unsigned int denom = 1;
+  while (denom < 8 &&
+         (cinfo->image_width / (denom * 2) >= (unsigned)out_size) &&
+         (cinfo->image_height / (denom * 2) >= (unsigned)out_size)) {
+    denom *= 2;
+  }
+  cinfo->scale_num = 1;
+  cinfo->scale_denom = denom;
+  jpeg_start_decompress(cinfo);
+
+  const int w = cinfo->output_width;
+  const int h = cinfo->output_height;
+  const int comps = cinfo->output_components;
+  full.resize(static_cast<size_t>(w) * h * 3);
+  row.resize(static_cast<size_t>(w) * comps);
+  for (int y = 0; y < h; ++y) {
+    unsigned char* rp = row.data();
+    jpeg_read_scanlines(cinfo, &rp, 1);
+    unsigned char* dst = full.data() + static_cast<size_t>(y) * w * 3;
+    if (comps == 3) {
+      std::memcpy(dst, row.data(), static_cast<size_t>(w) * 3);
+    } else {  // grayscale -> RGB
+      for (int x = 0; x < w; ++x) {
+        dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = row[x * comps];
+      }
+    }
+  }
+  jpeg_finish_decompress(cinfo);
+
+  if (w == out_size && h == out_size) {
+    std::memcpy(out, full.data(),
+                static_cast<size_t>(out_size) * out_size * 3);
+  } else {
+    resize_bilinear(full.data(), h, w, out, out_size);
+  }
+  return 0;
+}
+
 // Decode one JPEG file to RGB u8 at out_size x out_size. Returns 0 on ok.
 int decode_one(const char* path, int out_size, unsigned char* out) {
   FILE* f = std::fopen(path, "rb");
@@ -78,7 +136,7 @@ int decode_one(const char* path, int out_size, unsigned char* out) {
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = error_exit;
 
-  std::vector<unsigned char> full;
+  std::vector<unsigned char> full, row;
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
@@ -87,56 +145,33 @@ int decode_one(const char* path, int out_size, unsigned char* out) {
 
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
-  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
-    jpeg_destroy_decompress(&cinfo);
-    std::fclose(f);
-    return 1;
-  }
-  cinfo.out_color_space = JCS_RGB;
-  // libjpeg can downscale by M/8 during decode — pick the smallest scale
-  // that still covers the target (big win for large sources).
-  jpeg_calc_output_dimensions(&cinfo);
-  unsigned int denom = 1;
-  while (denom < 8 &&
-         (cinfo.image_width / (denom * 2) >= (unsigned)out_size) &&
-         (cinfo.image_height / (denom * 2) >= (unsigned)out_size)) {
-    denom *= 2;
-  }
-  cinfo.scale_num = 1;
-  cinfo.scale_denom = denom;
-  jpeg_start_decompress(&cinfo);
-
-  const int w = cinfo.output_width;
-  const int h = cinfo.output_height;
-  const int comps = cinfo.output_components;
-  if (comps != 3) {
-    // grayscale etc. — decode then expand
-  }
-  full.resize(static_cast<size_t>(w) * h * 3);
-  std::vector<unsigned char> row(static_cast<size_t>(w) * comps);
-  for (int y = 0; y < h; ++y) {
-    unsigned char* rp = row.data();
-    jpeg_read_scanlines(&cinfo, &rp, 1);
-    unsigned char* dst = full.data() + static_cast<size_t>(y) * w * 3;
-    if (comps == 3) {
-      std::memcpy(dst, row.data(), static_cast<size_t>(w) * 3);
-    } else {  // grayscale -> RGB
-      for (int x = 0; x < w; ++x) {
-        dst[x * 3] = dst[x * 3 + 1] = dst[x * 3 + 2] = row[x * comps];
-      }
-    }
-  }
-  jpeg_finish_decompress(&cinfo);
+  int rc = decode_from_src(&cinfo, out_size, out, full, row);
   jpeg_destroy_decompress(&cinfo);
   std::fclose(f);
+  return rc;
+}
 
-  if (w == out_size && h == out_size) {
-    std::memcpy(out, full.data(),
-                static_cast<size_t>(out_size) * out_size * 3);
-  } else {
-    resize_bilinear(full.data(), h, w, out, out_size);
+// Decode one in-memory JPEG buffer. Returns 0 on ok.
+int decode_one_mem(const unsigned char* buf, unsigned long len,
+                   int out_size, unsigned char* out) {
+  if (len == 0) return 2;
+
+  jpeg_decompress_struct cinfo;
+  ErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = error_exit;
+
+  std::vector<unsigned char> full, row;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return 1;
   }
-  return 0;
+
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<unsigned char*>(buf), len);
+  int rc = decode_from_src(&cinfo, out_size, out, full, row);
+  jpeg_destroy_decompress(&cinfo);
+  return rc;
 }
 
 }  // namespace
@@ -155,6 +190,34 @@ int fd_decode_batch(const char** paths, int n, int out_size,
       int i = next.fetch_add(1);
       if (i >= n) return;
       int rc = decode_one(paths[i], out_size, out + stride * i);
+      status[i] = rc;
+      if (rc) failures.fetch_add(1);
+    }
+  };
+
+  std::vector<std::thread> threads;
+  int t = n_threads < n ? n_threads : n;
+  threads.reserve(t);
+  for (int i = 0; i < t; ++i) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+  return failures.load();
+}
+
+int fd_decode_batch_mem(const unsigned char* blob, const long long* offsets,
+                        const long long* lengths, int n, int out_size,
+                        unsigned char* out, int* status, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int> next(0);
+  std::atomic<int> failures(0);
+  const size_t stride = static_cast<size_t>(out_size) * out_size * 3;
+
+  auto worker = [&]() {
+    for (;;) {
+      int i = next.fetch_add(1);
+      if (i >= n) return;
+      int rc = decode_one_mem(blob + offsets[i],
+                              static_cast<unsigned long>(lengths[i]),
+                              out_size, out + stride * i);
       status[i] = rc;
       if (rc) failures.fetch_add(1);
     }

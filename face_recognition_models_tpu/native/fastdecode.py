@@ -52,8 +52,17 @@ def _load():
                 ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
                 ctypes.c_int,
             ]
+            lib.fd_decode_batch_mem.restype = ctypes.c_int
+            lib.fd_decode_batch_mem.argtypes = [
+                ctypes.POINTER(ctypes.c_ubyte),
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.POINTER(ctypes.c_longlong),
+                ctypes.c_int, ctypes.c_int,
+                ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_int),
+                ctypes.c_int,
+            ]
             _lib = lib
-        except OSError as e:
+        except (OSError, AttributeError) as e:
             _build_error = f"dlopen failed: {e}"
 
 
@@ -83,6 +92,47 @@ def decode_batch(paths: Sequence[str], out_size: int,
         *[p.encode("utf-8") for p in paths])
     _lib.fd_decode_batch(
         c_paths, n, out_size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        n_threads)
+    return out, status
+
+
+def decode_batch_mem(blob: np.ndarray, offsets: np.ndarray,
+                     lengths: np.ndarray, out_size: int,
+                     out: Optional[np.ndarray] = None,
+                     n_threads: int = 8) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode JPEG byte ranges of one in-memory blob (e.g. an mmap'd
+    RecordIO .rec) into a uint8 [N, S, S, 3] array.
+
+    `blob` is a 1-D uint8 array/memmap; `offsets[i]`/`lengths[i]` bound
+    image i's encoded bytes. Returns (images, status) with the
+    decode_batch failure contract.
+    """
+    _load()
+    if _lib is None:
+        raise RuntimeError(f"native decoder unavailable: {_build_error}")
+    offsets = np.ascontiguousarray(offsets, np.int64)
+    lengths = np.ascontiguousarray(lengths, np.int64)
+    n = len(offsets)
+    if len(lengths) != n:
+        raise ValueError("offsets/lengths length mismatch")
+    if blob.dtype != np.uint8 or blob.ndim != 1:
+        raise ValueError("blob must be a 1-D uint8 array")
+    if n and int((offsets + lengths).max()) > blob.size:
+        raise ValueError("offset+length beyond blob end")
+    if n and (int(offsets.min()) < 0 or int(lengths.min()) < 0):
+        raise ValueError("negative offset/length")
+    if out is None:
+        out = np.empty((n, out_size, out_size, 3), np.uint8)
+    assert out.shape == (n, out_size, out_size, 3) and out.dtype == np.uint8
+    assert out.flags["C_CONTIGUOUS"]
+    status = np.zeros((n,), np.int32)
+    _lib.fd_decode_batch_mem(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        n, out_size,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
         status.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
         n_threads)

@@ -99,6 +99,36 @@ def main():
             out.append({"metric": f"loader_feed_{backend}", "value": rate,
                         "unit": "img/s"})
 
+        # --- 2b. RecordIO feed rate (insightface train.rec path) -----------
+        import io
+
+        from PIL import Image
+
+        from face_recognition_models_tpu.data.recordio import (
+            RecLoader,
+            RecordIODataset,
+            write_recordio,
+        )
+        payloads = []
+        for p in paths:
+            with open(p, "rb") as f:
+                payloads.append(f.read())
+        labels = [i % 32 for i in range(len(paths))]
+        write_recordio(os.path.join(root, "train"), payloads, labels)
+        rec = RecordIODataset.open(os.path.join(root, "train.rec"))
+        for backend in ("native", "pil"):
+            rloader = RecLoader(rec, batch_size=BATCH,
+                                image_size=IMAGE_SIZE, num_workers=8,
+                                seed=0, backend=backend)
+            n = rloader.steps_per_epoch() * BATCH
+
+            def drain_rec():
+                for _ in rloader.epoch(0):
+                    pass
+            rate = bench(drain_rec, n, repeats=2)
+            out.append({"metric": f"recloader_feed_{backend}",
+                        "value": rate, "unit": "img/s"})
+
         # --- 3. packed (pre-decoded) feed rate -----------------------------
         from face_recognition_models_tpu.data.packed import (
             PackedDataset,

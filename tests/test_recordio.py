@@ -274,3 +274,39 @@ def test_benchmark_dir_layout_still_wins(tmp_path):
                                              image_size=16)
     assert int(stack.mean()) < 100  # the directory copy, not the bin
     assert len(pairs) == 2 and len(id_to_row) == 4
+
+
+def test_native_and_pil_backends_agree(tmp_path):
+    """The C++ mem decoder and PIL produce the same pixels off the same
+    .rec (same bilinear target; JPEG decode itself is bit-exact across
+    libjpeg/PIL for baseline files at native size)."""
+    from face_recognition_models_tpu.native import is_available
+    if not is_available():
+        pytest.skip("native decoder unavailable")
+    prefix, images, labels = _synthetic_rec(tmp_path, n_ident=3,
+                                            per_ident=4, size=16)
+    ds = RecordIODataset.open(prefix)
+    a = RecLoader(ds, batch_size=12, image_size=16, shuffle=False,
+                  drop_remainder=False, backend="native")
+    b = RecLoader(ds, batch_size=12, image_size=16, shuffle=False,
+                  drop_remainder=False, backend="pil")
+    (ia, la), = list(a.epoch(0))
+    (ib, lb), = list(b.epoch(0))
+    assert (la == lb).all()
+    np.testing.assert_array_equal(ia, ib)
+
+
+def test_decode_batch_mem_guards():
+    from face_recognition_models_tpu.native import (
+        decode_batch_mem, is_available)
+    if not is_available():
+        pytest.skip("native decoder unavailable")
+    blob = np.zeros((100,), np.uint8)
+    with pytest.raises(ValueError, match="beyond blob end"):
+        decode_batch_mem(blob, np.asarray([90]), np.asarray([20]), 8)
+    with pytest.raises(ValueError, match="negative"):
+        decode_batch_mem(blob, np.asarray([-1]), np.asarray([5]), 8)
+    # zero-length and garbage ranges fail per-slot, not fatally
+    imgs, status = decode_batch_mem(blob, np.asarray([0, 10]),
+                                    np.asarray([0, 50]), 8)
+    assert (status != 0).all()
