@@ -47,6 +47,10 @@ def _add_train_parser(sub):
                    help="weight decay (reference model_utils.py:557)")
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--nesterov", action="store_true")
+    p.add_argument("--clip-grad-norm", type=float, default=0.0,
+                   help="clip gradients to this global norm before the "
+                        "update (0 = off; beyond-reference, torch "
+                        "clip_grad_norm_ placement)")
     p.add_argument("--scheduler", default="customstep",
                    help="LR schedule (train/schedules.py: customstep, step, "
                         "multistep, cosine, exponential, warmup_cosine, "
@@ -183,7 +187,7 @@ def cmd_train(args) -> int:
         optimizer=cfg_lib.OptimizerConfig(
             name=args.optimizer, learning_rate=args.learning_rate,
             momentum=args.momentum, weight_decay=args.weight_decay,
-            nesterov=args.nesterov),
+            nesterov=args.nesterov, clip_grad_norm=args.clip_grad_norm),
         schedule=cfg_lib.ScheduleConfig(
             name=args.scheduler,
             steps=tuple(int(s) for s in args.lr_steps.split(",") if s),
@@ -775,6 +779,11 @@ def main(argv=None) -> int:
                              "spans all hosts/slices (DCN between slices)")
     parser.add_argument("--debug-nans", action="store_true",
                         help="enable jax NaN checking (slower)")
+    parser.add_argument("--compile-cache", default=None, metavar="DIR",
+                        help="persistent XLA compilation cache: programs "
+                             "compiled once land in DIR and later "
+                             "processes (serve restarts, eval sweeps, "
+                             "resumed runs) skip the 20-300s compile")
     sub = parser.add_subparsers(dest="command", required=True)
     _add_train_parser(sub)
     _add_eval_parser(sub)
@@ -791,6 +800,10 @@ def main(argv=None) -> int:
     if args.platform:
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if args.compile_cache:
+        from face_recognition_models_tpu.utils.compile_cache import (
+            enable_compilation_cache)
+        enable_compilation_cache(args.compile_cache)
     if args.multihost:
         import jax
         jax.distributed.initialize()

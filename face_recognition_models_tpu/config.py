@@ -333,6 +333,10 @@ class OptimizerConfig:
     b1: float = 0.9
     b2: float = 0.999
     eps: float = 1e-8
+    # global-norm gradient clipping before the update rule (beyond the
+    # reference, which never clips; torch.nn.utils.clip_grad_norm_
+    # semantics). 0 = off.
+    clip_grad_norm: float = 0.0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -139,7 +139,9 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
     tx = get_optimizer(cfg.optimizer.name, lr_inner,
                        momentum=cfg.optimizer.momentum,
                        weight_decay=cfg.optimizer.weight_decay,
-                       nesterov=cfg.optimizer.nesterov)
+                       nesterov=cfg.optimizer.nesterov,
+                       clip_grad_norm=getattr(cfg.optimizer,
+                                              "clip_grad_norm", 0.0))
     if grad_accum > 1:
         import optax
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
@@ -221,6 +223,13 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
                 f"'{cfg.optimizer.name}'): the sampled classifier columns "
                 "are updated by a manual torch-SGD rule (train/partial_fc"
                 ".py); use --partial-fc 0 or --optimizer sgd")
+        if float(getattr(cfg.optimizer, "clip_grad_norm", 0.0)) > 0.0:
+            # the manual sampled-column update bypasses the optax chain,
+            # so the head would train unclipped while the backbone clips
+            raise ValueError(
+                "clip_grad_norm is not supported with partial_fc (the "
+                "sampled classifier columns bypass the optax chain); "
+                "use --clip-grad-norm 0 or --partial-fc 0")
         n_sampled = num_sampled_classes(head_cfg.num_classes, partial_fc,
                                         cfg.batch_size)
         # on the class-sharded path each shard samples within its LOCAL

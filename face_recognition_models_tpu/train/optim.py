@@ -107,6 +107,15 @@ def get_optimizer(choice: Union[int, str], learning_rate: ScheduleOrFloat,
     cfg.pop("lr", None)
     lr = learning_rate
 
+    # optional global-norm clipping of the RAW gradients before any
+    # update rule (torch clip_grad_norm_ placement); composes with every
+    # optimizer below.
+    clip = float(cfg.pop("clip_grad_norm", 0.0) or 0.0)
+    if clip > 0.0:
+        base = get_optimizer(choice, learning_rate,
+                             **{**overrides, "clip_grad_norm": 0.0})
+        return optax.chain(optax.clip_by_global_norm(clip), base)
+
     if name == "sgd":
         return fused_sgd(lr, momentum=cfg["momentum"],
                          weight_decay=cfg["weight_decay"],

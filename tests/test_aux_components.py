@@ -196,3 +196,17 @@ def test_cli_train_rejects_unknown_optimizer(tmp_path):
               "--synthetic-per-class", "4", "--image-size", "32",
               "-bs", "8", "-e", "1", "--optimizer", "sophia",
               "--working-path", str(tmp_path)])
+
+
+def test_enable_compilation_cache(tmp_path):
+    import jax
+
+    from face_recognition_models_tpu.utils.compile_cache import (
+        enable_compilation_cache)
+
+    d = tmp_path / "nested" / "cache"
+    enable_compilation_cache(str(d))
+    assert d.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(d)
+    assert jax.config.jax_persistent_cache_min_entry_size_bytes == -1
+    enable_compilation_cache(str(d))  # idempotent

@@ -291,3 +291,68 @@ def test_bf16_bn_matches_fp32_bn():
     assert np.isfinite(losses["bfloat16"])
     assert abs(losses["bfloat16"] - losses["float32"]) < (
         0.02 * abs(losses["float32"]))
+
+
+def test_clip_grad_norm_matches_torch_placement():
+    """clip_grad_norm clips the RAW gradient's global norm BEFORE wd and
+    momentum (torch clip_grad_norm_ placement), composing with the fused
+    torch-SGD rule."""
+    import numpy as np
+    import optax
+    import torch
+
+    from face_recognition_models_tpu.train.optim import get_optimizer
+
+    rs = np.random.RandomState(0)
+    w0 = rs.randn(4, 3).astype(np.float32)
+    gs = [rs.randn(4, 3).astype(np.float32) * 5 for _ in range(3)]
+    lr, mom, wd, clip = 0.1, 0.9, 5e-4, 1.0
+
+    # torch oracle
+    p = torch.nn.Parameter(torch.tensor(w0))
+    opt = torch.optim.SGD([p], lr=lr, momentum=mom, weight_decay=wd)
+    for g in gs:
+        opt.zero_grad()
+        p.grad = torch.tensor(g)
+        torch.nn.utils.clip_grad_norm_([p], clip)
+        opt.step()
+
+    tx = get_optimizer("sgd", lr, momentum=mom, weight_decay=wd,
+                       clip_grad_norm=clip)
+    params = {"w": jnp.asarray(w0)}
+    state = tx.init(params)
+    for g in gs:
+        updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(params["w"]),
+                               p.detach().numpy(), atol=1e-6)
+
+    # a sub-threshold gradient is untouched (clip is a no-op)
+    tiny = {"w": jnp.full((4, 3), 1e-3)}
+    tx2 = get_optimizer("sgd", lr, momentum=mom, weight_decay=0.0,
+                        clip_grad_norm=clip)
+    u1, _ = tx2.update(tiny, tx2.init(tiny), tiny)
+    tx3 = get_optimizer("sgd", lr, momentum=mom, weight_decay=0.0)
+    u2, _ = tx3.update(tiny, tx3.init(tiny), tiny)
+    np.testing.assert_allclose(np.asarray(u1["w"]), np.asarray(u2["w"]),
+                               atol=1e-7)
+
+
+def test_clip_grad_norm_rejected_with_partial_fc():
+    import pytest
+
+    from face_recognition_models_tpu import config as cfg_lib
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities)
+    from face_recognition_models_tpu.train.loop import fit
+
+    images, labels = synthetic_identities(64, 4, image_size=32, seed=0)
+    loader = ArrayLoader(images, labels, batch_size=32)
+    cfg = cfg_lib.TrainConfig(
+        backbone="resnet18", head="arcface", num_classes=64,
+        batch_size=32, epochs=1, partial_fc=0.5,
+        data=cfg_lib.DataConfig(image_size=32),
+        optimizer=cfg_lib.OptimizerConfig(clip_grad_norm=1.0))
+    with pytest.raises(ValueError, match="clip_grad_norm"):
+        fit(cfg, loader)
