@@ -401,6 +401,12 @@ def _add_eval_parser(sub):
                    default="final",
                    help="which checkpoint to evaluate (the reference "
                         "evaluates min_loss)")
+    p.add_argument("--standard-protocol", action="store_true",
+                   help="use the CLASSIC LFW protocol (sequential folds, "
+                        "accuracy-max grid threshold tuned on 9 folds, "
+                        "tested on 1 — insightface semantics, comparable "
+                        "to published numbers) instead of the reference's "
+                        "inverted protocol")
     p.add_argument("--device-protocol", action="store_true",
                    help="run the 10-fold protocol fully vectorized on "
                         "device instead of the sklearn host path")
@@ -425,7 +431,8 @@ def cmd_eval(args) -> int:
         output_dir=args.output_dir,
         image_size=args.image_size,
         which=args.which,
-        protocol="device" if args.device_protocol else "host",
+        protocol=("standard" if args.standard_protocol
+                  else "device" if args.device_protocol else "host"),
         fars=tuple(float(f) for f in args.tpr_far.split(",") if f),
     )
 

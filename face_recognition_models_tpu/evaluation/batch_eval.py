@@ -115,7 +115,13 @@ def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
                                 fars: Sequence[float] = ()):
     """Returns VerificationResult, or (VerificationResult, {far: tpr})
     when `fars` is non-empty (TPR@FAR over the full pair list —
-    evaluation/openset.py; beyond the reference's accuracy/AUC)."""
+    evaluation/openset.py; beyond the reference's accuracy/AUC).
+
+    protocol: 'host' = the reference's inverted protocol (tune Youden on
+    1 fold, test on 9) on the host; 'device' = the same, fully on-chip;
+    'standard' = the classic LFW/insightface protocol (sequential folds,
+    accuracy-maximizing grid threshold tuned on 9, tested on 1) for
+    comparing with published numbers."""
     pairs, stack, id_to_row = load_benchmark(eval_root, benchmark,
                                              image_size)
     emb = embed_unique_images(embed_fn, stack, batch_size)
@@ -124,8 +130,16 @@ def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
         from face_recognition_models_tpu.evaluation.device_protocol import (
             kfold_verification_device)
         res = kfold_verification_device(sims, pairs[:, 2])
-    else:
+    elif protocol == "standard":
+        from face_recognition_models_tpu.evaluation.verification import (
+            standard_kfold_verification)
+        res = standard_kfold_verification(sims, pairs[:, 2],
+                                          verbose=verbose)
+    elif protocol == "host":
         res = kfold_verification(sims, pairs[:, 2], verbose=verbose)
+    else:
+        raise ValueError(f"unknown protocol {protocol!r} "
+                         "(host | device | standard)")
     if not fars:
         return res
     from face_recognition_models_tpu.evaluation.openset import tpr_at_far

@@ -131,6 +131,72 @@ def kfold_verification(similarities: np.ndarray, labels: np.ndarray,
     )
 
 
+def standard_kfold_verification(similarities: np.ndarray,
+                                labels: np.ndarray, k_fold: int = 10,
+                                verbose: bool = False
+                                ) -> VerificationResult:
+    """The CLASSIC LFW 10-fold protocol (insightface/facenet semantics),
+    for comparing against published numbers.
+
+    Differs from the reference's protocol (kfold_verification, which this
+    framework replicates for parity) in all three choices the reference
+    inverts (SURVEY §2.4 note):
+      - sequential un-shuffled KFold over the pair list (insightface
+        verification.py uses sklearn KFold(shuffle=False)), not
+        StratifiedKFold(shuffle, seed 42);
+      - threshold tuned by ACCURACY maximization over a fixed grid —
+        insightface's `np.arange(0, 4, 0.01)` on the squared L2 distance
+        of unit embeddings, i.e. d = 2 - 2*cos, mapped here to cosine
+        thresholds 1 - d/2 — not Youden's J on an ROC;
+      - tuned on the OTHER k-1 folds, tested on the held-out fold
+        (the classic direction; the reference tests on the 9).
+    AUC is computed on the held-out fold for the result's auc fields.
+    """
+    similarities = np.asarray(similarities, np.float64)
+    labels = np.asarray(labels, np.int64)
+    n = len(similarities)
+    if len(labels) != n:
+        raise ValueError("similarities/labels length mismatch")
+    # insightface grid: squared-L2 thresholds 0..4 step 0.01 -> cosine
+    grid = 1.0 - np.arange(0.0, 4.0, 0.01) / 2.0        # [400] descending
+    # folds: sequential contiguous blocks (KFold(shuffle=False) semantics)
+    fold_sizes = np.full(k_fold, n // k_fold, np.int64)
+    fold_sizes[: n % k_fold] += 1
+    stops = np.cumsum(fold_sizes)
+    starts = stops - fold_sizes
+
+    # [P, T] correctness table once; folds slice it
+    correct = ((similarities[:, None] > grid[None, :]).astype(np.int64)
+               == labels[:, None])
+
+    accs, aucs, thresholds = [], [], []
+    for fold in range(k_fold):
+        lo, hi = int(starts[fold]), int(stops[fold])
+        test = np.zeros(n, bool)
+        test[lo:hi] = True
+        train_acc = correct[~test].mean(axis=0)
+        best = int(np.argmax(train_acc))  # first max, like np.argmax there
+        thresh = float(grid[best])
+        acc = 100.0 * float(correct[test, best].mean())
+        auc = _auc(labels[test], similarities[test])
+        accs.append(acc)
+        aucs.append(auc)
+        thresholds.append(thresh)
+        if verbose:
+            print(f"fold {fold + 1}/{k_fold}: thresh={thresh:.4f} "
+                  f"acc={acc:.3f}% auc={auc:.4f}")
+
+    return VerificationResult(
+        mean_accuracy=float(np.mean(accs)),
+        std_accuracy=float(np.std(accs)),
+        mean_auc=float(np.mean(aucs)),
+        std_auc=float(np.std(aucs)),
+        fold_accuracies=accs,
+        fold_aucs=aucs,
+        fold_thresholds=thresholds,
+    )
+
+
 def evaluate_benchmark(embed_fn: Callable, pairs: np.ndarray,
                        images_by_id: Dict[int, np.ndarray],
                        batch_size: int = 256,

@@ -123,3 +123,89 @@ def test_sharded_embed_matches_single_device():
 
     with pytest.raises(ValueError, match="divisible"):
         make_embed_fn(model, params, stats, mesh=mesh)(images[:3])
+
+
+# --- classic (insightface) protocol -----------------------------------------
+
+def _insightface_oracle(sims, labels, k_fold=10):
+    """Naive reimplementation of insightface verification.py's
+    calculate_accuracy flow: squared-L2 distances of unit embeddings
+    (d = 2 - 2*cos), thresholds np.arange(0, 4, 0.01), sequential KFold,
+    accuracy-max threshold on the k-1 train folds, accuracy on the test
+    fold. Double loops on purpose — an independent code path."""
+    dists = 2.0 - 2.0 * np.asarray(sims, np.float64)
+    labels = np.asarray(labels, np.int64)
+    n = len(dists)
+    thresholds = np.arange(0, 4, 0.01)
+    fold_sizes = np.full(k_fold, n // k_fold, np.int64)
+    fold_sizes[: n % k_fold] += 1
+    stops = np.cumsum(fold_sizes)
+    accs = []
+    for f in range(k_fold):
+        lo, hi = stops[f] - fold_sizes[f], stops[f]
+        train = [i for i in range(n) if not (lo <= i < hi)]
+        test = list(range(lo, hi))
+        best_acc, best_t = -1.0, None
+        for t in thresholds:
+            acc = np.mean([(dists[i] < t) == bool(labels[i])
+                           for i in train])
+            if acc > best_acc:
+                best_acc, best_t = acc, t
+        accs.append(100.0 * np.mean([(dists[i] < best_t) == bool(labels[i])
+                                     for i in test]))
+    return accs
+
+
+def test_standard_protocol_matches_insightface_oracle():
+    from face_recognition_models_tpu.evaluation.verification import (
+        standard_kfold_verification)
+    rs = np.random.RandomState(0)
+    n = 240
+    labels = rs.randint(0, 2, n)
+    # noisy separability so thresholds matter
+    sims = np.where(labels == 1, rs.normal(0.55, 0.25, n),
+                    rs.normal(0.05, 0.25, n)).clip(-1, 1)
+    res = standard_kfold_verification(sims, labels)
+    oracle = _insightface_oracle(sims, labels)
+    np.testing.assert_allclose(res.fold_accuracies, oracle, atol=1e-9)
+    assert 70.0 < res.mean_accuracy < 100.0
+
+
+def test_standard_protocol_differs_from_reference_by_design():
+    """Same scores, two protocols: both near-100% on separable data, but
+    fold partitions differ (sequential vs stratified-shuffled)."""
+    from face_recognition_models_tpu.evaluation.verification import (
+        kfold_verification, standard_kfold_verification)
+    rs = np.random.RandomState(1)
+    n = 200
+    labels = rs.randint(0, 2, n)
+    sims = np.where(labels == 1, 0.8 + 0.1 * rs.rand(n),
+                    -0.1 + 0.1 * rs.rand(n))
+    std = standard_kfold_verification(sims, labels)
+    ref = kfold_verification(sims, labels)
+    assert std.mean_accuracy == 100.0
+    # the reference's protocol picks fold-score thresholds with strict >,
+    # so tuning-fold minima clip a few positives in the other nine folds
+    assert ref.mean_accuracy > 90.0
+    # thresholds live on different grids/criteria
+    assert std.fold_thresholds != ref.fold_thresholds
+
+
+def test_standard_protocol_cli_dispatch(tmp_path):
+    """batch_eval routes protocol='standard' (and rejects unknowns)."""
+    from face_recognition_models_tpu.data.pairs import save_bin
+    from face_recognition_models_tpu.evaluation.batch_eval import (
+        evaluate_model_on_benchmark)
+    rs = np.random.RandomState(2)
+    imgs = np.stack([np.full((16, 16, 3), 10 + 7 * i, np.uint8)
+                     for i in range(40)])
+    issame = np.asarray([1, 0] * 10)
+    save_bin(str(tmp_path / "lfw.bin"), imgs, issame)
+    embed = lambda x: np.asarray(x, np.float32).reshape(len(x), -1)[:, :8] + 1.0
+    res = evaluate_model_on_benchmark(embed, str(tmp_path), "lfw",
+                                      image_size=16, verbose=False,
+                                      protocol="standard")
+    assert 0.0 <= res.mean_accuracy <= 100.0
+    with pytest.raises(ValueError, match="unknown protocol"):
+        evaluate_model_on_benchmark(embed, str(tmp_path), "lfw",
+                                    image_size=16, protocol="bogus")
