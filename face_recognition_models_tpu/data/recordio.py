@@ -64,6 +64,33 @@ def read_idx(path: str) -> Dict[int, int]:
     return out
 
 
+def _read_idx_arrays(path: str) -> Tuple[np.ndarray, np.ndarray]:
+    """Fast-path .idx parse -> (keys, offsets) int64 arrays, sorted by
+    key. pandas' C reader when available (~10x the Python loop at MS1M
+    scale), else the loop."""
+    keys = offs = None
+    try:
+        import pandas as pd
+        # the format is canonically tab-separated; "\t" keeps pandas on
+        # its C engine (a regex sep silently falls back to the slow
+        # python engine)
+        df = pd.read_csv(path, sep="\t", header=None, dtype=np.int64,
+                         engine="c")
+        if df.shape[1] >= 2 and len(df):
+            keys = df[0].to_numpy()
+            offs = df[1].to_numpy()
+    except ImportError:
+        pass
+    except (ValueError, OSError):
+        keys = None  # odd separators/blank lines: use the tolerant loop
+    if keys is None:
+        d = read_idx(path)
+        keys = np.fromiter(d.keys(), np.int64, len(d))
+        offs = np.fromiter(d.values(), np.int64, len(d))
+    order = np.argsort(keys, kind="stable")
+    return keys[order], offs[order]
+
+
 def read_record(buf, offset: int) -> Tuple[np.ndarray, bytes]:
     """Read one record at `offset` -> (label float32 array, payload bytes).
 
@@ -109,6 +136,51 @@ def _read_header(buf, offset: int) -> Tuple[np.ndarray, int, int]:
 def _read_header_label(buf, offset: int) -> np.ndarray:
     """Label(s) of the record at `offset` without copying the payload."""
     return _read_header(buf, offset)[0]
+
+
+def _scan_headers(buf: np.ndarray, offsets: np.ndarray
+                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized header scan over all image records: (int labels,
+    payload offsets, payload lengths).
+
+    One fancy-indexed gather of the 32 header bytes per record instead of
+    per-record struct.unpack calls — at MS1M scale (~5.8M records) the
+    Python loop costs ~a minute, this ~a second. `buf` is the 1-D uint8
+    mmap of the .rec.
+    """
+    n = len(offsets)
+    if n == 0:
+        z = np.zeros((0,), np.int64)
+        return np.zeros((0,), np.int32), z, z
+    offsets = np.asarray(offsets, np.int64)
+    heads = np.ascontiguousarray(
+        buf[offsets[:, None] + np.arange(32)])           # [N, 32] uint8
+    h32 = heads.view(np.uint32)                          # [N, 8] LE words
+    hf32 = heads.view(np.float32)
+    magic = h32[:, 0]
+    if (magic != _MAGIC).any():
+        bad = int(offsets[int(np.argmax(magic != _MAGIC))])
+        raise ValueError(f"bad RecordIO magic at offset {bad}")
+    lrec = h32[:, 1].astype(np.int64)
+    if (lrec >> 29).any():
+        raise ValueError("split (>512 MB) RecordIO records are not "
+                         "supported")
+    length = lrec & ((1 << 29) - 1)
+    flag = h32[:, 2].astype(np.int64)
+    scalar_label = hf32[:, 3]
+    # flag==0: label is the header scalar; flag>0: first float after the
+    # header (bytes 32:36 — gathered separately for just those rows)
+    labels = scalar_label.astype(np.float64)
+    arr_rows = np.flatnonzero(flag > 0)
+    if len(arr_rows):
+        first = buf[offsets[arr_rows, None] + (32 + np.arange(4))]
+        labels[arr_rows] = first.view(np.float32)[:, 0]
+    head_bytes = 24 + 4 * flag
+    p_offs = offsets + 8 + head_bytes
+    p_lens = length - head_bytes
+    if (p_lens < 0).any():
+        raise ValueError("record shorter than its header")
+    return labels.astype(np.int32), p_offs, p_lens
 
 
 def write_recordio(prefix: str, payloads: Sequence[bytes],
@@ -232,35 +304,23 @@ class RecordIODataset:
         prefix = resolve_prefix(path)
         if prefix is None:
             raise FileNotFoundError(f"no .rec/.idx pair at {path}")
-        idx = read_idx(prefix + ".idx")
+        all_keys, all_offs = _read_idx_arrays(prefix + ".idx")
         # mmap: the header scan touches ~32 B per record, never the payloads
         buf = np.memmap(prefix + ".rec", dtype=np.uint8, mode="r")
-        keys: List[int]
-        if 0 in idx:
-            label0 = _read_header_label(buf, idx[0])
+        num_identities = 0
+        mask = np.ones(len(all_keys), bool)
+        if len(all_keys) and all_keys[0] == 0:
+            label0 = _read_header_label(buf, int(all_offs[0]))
             if len(label0) >= 2 and int(label0[0]) > 0:
                 # insightface layout: images are keys 1..ident_start-1
                 ident_start, ident_end = int(label0[0]), int(label0[1])
-                keys = [k for k in idx if 0 < k < ident_start]
+                mask = (all_keys > 0) & (all_keys < ident_start)
                 num_identities = ident_end - ident_start
-            else:
-                keys = sorted(idx)
-                num_identities = 0
-        else:
-            keys = sorted(idx)
-            num_identities = 0
-        keys.sort()
-        offsets = np.asarray([idx[k] for k in keys], np.int64)
-        labels = np.empty((len(keys),), np.int32)
-        p_offs = np.empty((len(keys),), np.int64)
-        p_lens = np.empty((len(keys),), np.int64)
-        for row, off in enumerate(offsets):
-            lab, po, pl = _read_header(buf, int(off))
-            labels[row] = int(lab[0])
-            p_offs[row], p_lens[row] = po, pl
+        keys, offsets = all_keys[mask], all_offs[mask]
+        labels, p_offs, p_lens = _scan_headers(buf, offsets)
         if num_identities == 0:
             num_identities = int(labels.max()) + 1 if len(labels) else 0
-        return cls(prefix, np.asarray(keys, np.int64), offsets, labels,
+        return cls(prefix, keys, offsets, labels,
                    num_identities, p_offs, p_lens)
 
 
