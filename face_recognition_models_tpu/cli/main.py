@@ -51,6 +51,11 @@ def _add_train_parser(sub):
                    help="clip gradients to this global norm before the "
                         "update (0 = off; beyond-reference, torch "
                         "clip_grad_norm_ placement)")
+    p.add_argument("--freeze-backbone", action="store_true",
+                   help="train the margin head only (linear probe): "
+                        "backbone runs frozen in eval mode under "
+                        "stop_gradient (XLA prunes its backward); pair "
+                        "with --pretrained")
     p.add_argument("--scheduler", default="customstep",
                    help="LR schedule (train/schedules.py: customstep, step, "
                         "multistep, cosine, exponential, warmup_cosine, "
@@ -183,6 +188,7 @@ def cmd_train(args) -> int:
         partial_fc=args.partial_fc,
         grad_accum=args.grad_accum,
         model_ema=args.model_ema,
+        freeze_backbone=args.freeze_backbone,
         bn_dtype=args.bn_dtype,
         optimizer=cfg_lib.OptimizerConfig(
             name=args.optimizer, learning_rate=args.learning_rate,

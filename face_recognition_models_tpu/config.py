@@ -470,6 +470,13 @@ class TrainConfig:
     # memories) update per micro-batch. 1 = off. Incompatible with
     # partial_fc (its manual sampled-column update applies immediately).
     grad_accum: int = 1
+    # Head-only training over a frozen trunk (beyond-reference linear
+    # probe / adapter fit): the backbone runs in eval mode (batch stats
+    # frozen) under stop_gradient — XLA prunes its whole backward pass —
+    # and its optimizer updates are zeroed (no wd creep). Pair with
+    # --pretrained / warm_start. Incompatible with partial_fc (manual
+    # column update path) and distillation (the student trunk must learn).
+    freeze_backbone: bool = False
     optimizer: OptimizerConfig = OptimizerConfig()
     schedule: ScheduleConfig = ScheduleConfig()
     mesh: MeshConfig = MeshConfig()

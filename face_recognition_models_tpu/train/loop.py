@@ -207,6 +207,16 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
         # constants replicate under the mesh, the batch stays DP-sharded
         teacher_fn = lambda images: t_module.apply(t_vars, images,
                                                    train=False)
+    if bool(getattr(cfg, "freeze_backbone", False)):
+        if partial_fc > 0.0:
+            raise ValueError(
+                "freeze_backbone is not supported with partial_fc (the "
+                "sampled-column step has no frozen-trunk path yet); "
+                "use --partial-fc 0 or --no freeze")
+        if teacher_fn is not None:
+            raise ValueError(
+                "freeze_backbone with distillation is contradictory: "
+                "the KD loss only reaches the (frozen) trunk")
     if partial_fc > 0.0:
         from face_recognition_models_tpu.train.partial_fc import (
             init_partial_fc_opt_state,
@@ -286,7 +296,8 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             use_fused_head=cfg.use_pallas_head,
             mesh=mesh if use_mesh else None,
             teacher_fn=teacher_fn, distill_weight=distill_weight,
-            distill_mode=distill_cfg.mode)
+            distill_mode=distill_cfg.mode,
+            freeze_backbone=bool(getattr(cfg, "freeze_backbone", False)))
 
     if ema_decay > 0.0:
         # per-step EMA fused into the step's own dispatch (the lerp is one

@@ -67,8 +67,15 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     mesh=None,
                     teacher_fn: Optional[Callable] = None,
                     distill_weight: float = 0.0,
-                    distill_mode: str = "cosine") -> Callable:
+                    distill_mode: str = "cosine",
+                    freeze_backbone: bool = False) -> Callable:
     """Build the jittable train step.
+
+    freeze_backbone: head-only training (linear probe / adapter fit over
+    a pretrained trunk): the backbone runs in EVAL mode (batch stats
+    frozen) under stop_gradient — XLA then prunes the entire backbone
+    backward pass — and its optimizer updates are zeroed so weight decay
+    cannot creep into the frozen weights.
 
     use_fused_head: True forces the fused Pallas margin+CE kernel (errors
     for unsupported heads), False forces the XLA jnp path, "auto" (default)
@@ -104,7 +111,7 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                                       mean, std, horizontal_flip, crop_pad,
                                       color_jitter, random_erasing, mesh,
                                       teacher_fn, distill_weight,
-                                      distill_mode)
+                                      distill_mode, freeze_backbone)
 
     def train_step(state: TrainState, images, labels, minput_images=None):
         rng, head_rng, dropout_rng, flip_rng = jax.random.split(state.rng, 4)
@@ -124,16 +131,25 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
             model_vars = {"params": params["backbone"],
                           "batch_stats": state.batch_stats}
             rngs = {"dropout": dropout_rng} if has_dropout else None
-            feats, mutated = backbone.apply(
-                model_vars, images, train=True, mutable=["batch_stats"],
-                rngs=rngs)
+            if freeze_backbone:
+                feats = jax.lax.stop_gradient(backbone.apply(
+                    model_vars, images, train=False))
+                mutated = {"batch_stats": state.batch_stats}
+            else:
+                feats, mutated = backbone.apply(
+                    model_vars, images, train=True,
+                    mutable=["batch_stats"], rngs=rngs)
             feats = feats.astype(jnp.float32)
 
             minput_feats = None
             if minput_images is not None:
-                minput_feats, _ = backbone.apply(
-                    model_vars, minput_images, train=True,
-                    mutable=["batch_stats"], rngs=rngs)
+                if freeze_backbone:
+                    minput_feats = jax.lax.stop_gradient(backbone.apply(
+                        model_vars, minput_images, train=False))
+                else:
+                    minput_feats, _ = backbone.apply(
+                        model_vars, minput_images, train=True,
+                        mutable=["batch_stats"], rngs=rngs)
                 minput_feats = minput_feats.astype(jnp.float32)
 
             out = head.apply(head_cfg, params["kernel_w"], feats, labels,
@@ -152,6 +168,11 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
 
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
+        if freeze_backbone:
+            # grads are already zero (stop_gradient); this stops wd/momentum
+            # from shifting the frozen weights, and XLA DCEs the math
+            updates = {**updates, "backbone": jax.tree.map(
+                jnp.zeros_like, updates["backbone"])}
         new_params = optax.apply_updates(state.params, updates)
 
         acc1, acc5 = topk_accuracy(out.pre_logits, labels, topk=(1, 5))
@@ -187,7 +208,8 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
                            random_erasing=0.0, mesh=None,
                            teacher_fn: Optional[Callable] = None,
                            distill_weight: float = 0.0,
-                           distill_mode: str = "cosine") -> Callable:
+                           distill_mode: str = "cosine",
+                           freeze_backbone: bool = False) -> Callable:
     """Train step backed by the fused Pallas margin+CE kernel: the [N, C]
     logit matrix is never materialized (ops/fused_head.py)."""
     from face_recognition_models_tpu.heads.fused_adapter import fused_apply
@@ -209,14 +231,23 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
             model_vars = {"params": params["backbone"],
                           "batch_stats": state.batch_stats}
             rngs = {"dropout": dropout_rng} if has_dropout else None
-            feats, mutated = backbone.apply(
-                model_vars, images, train=True, mutable=["batch_stats"],
-                rngs=rngs)
+            if freeze_backbone:
+                feats = jax.lax.stop_gradient(backbone.apply(
+                    model_vars, images, train=False))
+                mutated = {"batch_stats": state.batch_stats}
+            else:
+                feats, mutated = backbone.apply(
+                    model_vars, images, train=True,
+                    mutable=["batch_stats"], rngs=rngs)
             minput_feats = None
             if minput_images is not None:
-                minput_feats, _ = backbone.apply(
-                    model_vars, minput_images, train=True,
-                    mutable=["batch_stats"], rngs=rngs)
+                if freeze_backbone:
+                    minput_feats = jax.lax.stop_gradient(backbone.apply(
+                        model_vars, minput_images, train=False))
+                else:
+                    minput_feats, _ = backbone.apply(
+                        model_vars, minput_images, train=True,
+                        mutable=["batch_stats"], rngs=rngs)
                 minput_feats = minput_feats.astype(jnp.float32)
             out = fused_apply(head_cfg, params["kernel_w"],
                               feats.astype(jnp.float32), labels,
@@ -233,6 +264,9 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
             jax.value_and_grad(loss_fn, has_aux=True)(state.params))
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
+        if freeze_backbone:
+            updates = {**updates, "backbone": jax.tree.map(
+                jnp.zeros_like, updates["backbone"])}
         new_params = optax.apply_updates(state.params, updates)
 
         lr = (lr_schedule(state.step) if lr_schedule is not None

@@ -168,6 +168,7 @@ def test_step_timer():
     assert timer.seconds_per_step >= 0.0
 
 
+@pytest.mark.slow
 def test_cli_train_optimizer_scheduler_flags(tmp_path, capsys):
     """`face train` exposes the optimizer/scheduler factories (the
     reference ships them, optimizers.py:3-71 / schedulers.py:3-104, but

@@ -47,6 +47,7 @@ def _tiny_cfg(**kw):
     return cfg_lib.TrainConfig(**base)
 
 
+@pytest.mark.slow
 def test_train_step_adds_weighted_kd_term():
     """With a teacher the step's loss is exactly loss(without) +
     metrics['loss_kd'] (the forward itself is unchanged), and the metric

@@ -148,6 +148,7 @@ def test_head_arg_cli_overrides():
         cfg_lib.parse_head_overrides("arcface", ["num_classes=7"])
 
 
+@pytest.mark.slow
 def test_subcenter_sharded_train_step_matches_single_device():
     """Class-TP with a [D, C*K] kernel: the reshape-to-[N, C, K] max-pool
     must be GSPMD-clean (whole classes per shard) and numerically match
@@ -276,6 +277,7 @@ def test_adacos_scale_anneals_as_targets_sharpen():
     assert s_hard > s_easy
 
 
+@pytest.mark.slow
 def test_adacos_trains_e2e():
     from face_recognition_models_tpu.data.pipeline import ArrayLoader
     from face_recognition_models_tpu.data.synthetic import (

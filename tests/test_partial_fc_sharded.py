@@ -153,6 +153,7 @@ def test_sharded_partial_fc_loss_decreases(head_name):
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+@pytest.mark.slow
 def test_unsampled_local_columns_untouched():
     C, batch, C_s_l = 512, 8, 16      # c_local=128, samples 16/shard
     mesh = make_mesh(cfg_lib.MeshConfig(data=2, model=4))

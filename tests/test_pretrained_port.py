@@ -314,7 +314,8 @@ class _TorchEfficientNetB0(tnn.Module):
 
 
 @pytest.mark.parametrize("name,cls", [
-    ("mobilenet_v2", _TorchMobileNetV2),
+    pytest.param("mobilenet_v2", _TorchMobileNetV2,
+                 marks=pytest.mark.slow),
     pytest.param("efficientnet_b0", _TorchEfficientNetB0,
                  marks=pytest.mark.slow)])
 def test_port_matches_torch_golden_activations_mobile(name, cls):
