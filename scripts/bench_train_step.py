@@ -35,6 +35,8 @@ def main():
                     default="auto")
     ap.add_argument("--partial-fc", type=float, default=0.0,
                     help="Partial-FC negative sample ratio (0 = dense)")
+    ap.add_argument("--freeze", action="store_true",
+                    help="freeze_backbone linear-probe step")
     ap.add_argument("--augs", action="store_true",
                     help="enable the full on-device augmentation chain "
                     "(flip + crop-pad 4 + jitter 0.4 + erasing 0.25)")
@@ -82,7 +84,8 @@ def main():
         step_fn = make_train_step(
             backbone, head, head_cfg, tx,
             has_dropout=has_dropout,
-            use_fused_head=use_fused, **aug_kw)
+            use_fused_head=use_fused, freeze_backbone=args.freeze,
+            **aug_kw)
 
     rs = np.random.RandomState(0)
     images = rs.randint(0, 256, (args.scan, args.batch, args.image_size,
