@@ -455,6 +455,11 @@ def _add_preprocess_parser(sub):
                    help="directory containing facenet_pytorch's "
                         "pnet.pt/rnet.pt/onet.pt (enables real detection "
                         "via the native JAX cascade)")
+    p.add_argument("--align-mode", choices=("crop", "warp"), default="crop",
+                   help="'crop' = box crop+resize (reference "
+                        "preprocess.py:35-41); 'warp' = 5-landmark "
+                        "similarity warp onto the ArcFace template "
+                        "(insightface production recipe)")
     return p
 
 
@@ -462,7 +467,8 @@ def cmd_preprocess(args) -> int:
     from face_recognition_models_tpu.data.preprocess import preprocess_dataset
     stats = preprocess_dataset(args.input, args.output,
                                image_size=args.image_size,
-                               mtcnn_weights=args.mtcnn_weights)
+                               mtcnn_weights=args.mtcnn_weights,
+                               align_mode=args.align_mode)
     print(f"preprocess done: {stats}")
     return 0
 
@@ -715,6 +721,10 @@ def _add_serve_parser(sub):
     p.add_argument("--mtcnn-weights", default=None, metavar="DIR",
                    help="facenet_pytorch pnet.pt/rnet.pt/onet.pt dir "
                         "for --align")
+    p.add_argument("--align-mode", choices=("crop", "warp"), default="crop",
+                   help="with --align: 'crop' = box crop+resize; 'warp' = "
+                        "5-landmark similarity warp onto the ArcFace "
+                        "template (detection/align.py)")
     return p
 
 
@@ -726,7 +736,7 @@ def cmd_serve(args) -> int:
         image_size=args.image_size, host=args.host, port=args.port,
         micro_batch=args.micro_batch, max_wait_ms=args.max_wait_ms,
         gallery=args.gallery, align=args.align,
-        mtcnn_weights=args.mtcnn_weights)
+        mtcnn_weights=args.mtcnn_weights, align_mode=args.align_mode)
 
 
 def _add_identify_parser(sub):

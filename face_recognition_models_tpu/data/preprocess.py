@@ -67,11 +67,29 @@ class _FacenetPytorchAdapter:
         return face.permute(1, 2, 0).byte().numpy()
 
 
-def build_detector(image_size: int, weights_dir: Optional[str] = None):
+def build_detector(image_size: int, weights_dir: Optional[str] = None,
+                   align_mode: str = "crop"):
     """An object with `.detect(img) -> (boxes, probs, landmarks)` and
     `.extract(img) -> Optional[uint8 [S,S,3]]` — the native JAX cascade
     when weights are available, else a facenet_pytorch adapter, else None.
-    Shared by offline preprocessing and the serving daemon's --align."""
+    Shared by offline preprocessing and the serving daemon's --align.
+
+    align_mode selects what `.extract` does with the best face:
+    'crop' (default) crops+resizes the detected box, the reference's
+    behavior (preprocess.py:35-41); 'warp' similarity-warps the 5
+    landmarks onto the ArcFace template (detection/align.py), the
+    insightface production recipe."""
+    if align_mode not in ("crop", "warp"):
+        raise ValueError(f"align_mode must be 'crop' or 'warp', "
+                         f"got {align_mode!r}")
+    det = _build_raw_detector(image_size, weights_dir)
+    if det is not None and align_mode == "warp":
+        from face_recognition_models_tpu.detection.align import WarpAligner
+        det = WarpAligner(det, image_size)
+    return det
+
+
+def _build_raw_detector(image_size: int, weights_dir: Optional[str] = None):
     weights_dir = weights_dir or _find_facenet_pytorch_weights()
     if weights_dir is not None:
         from face_recognition_models_tpu.detection import (
@@ -93,9 +111,10 @@ def build_detector(image_size: int, weights_dir: Optional[str] = None):
         return None
 
 
-def _build_mtcnn(image_size: int, weights_dir: Optional[str] = None):
+def _build_mtcnn(image_size: int, weights_dir: Optional[str] = None,
+                 align_mode: str = "crop"):
     """extract-callable form of build_detector (None when unavailable)."""
-    det = build_detector(image_size, weights_dir)
+    det = build_detector(image_size, weights_dir, align_mode=align_mode)
     if det is None:
         return None
     return lambda im: det.extract(np.asarray(im))
@@ -110,14 +129,16 @@ def _center_crop_resize(im, size: int):
 
 def preprocess_dataset(original_path: str, aligned_path: str,
                        image_size: int = 112,
-                       mtcnn_weights: Optional[str] = None) -> dict:
+                       mtcnn_weights: Optional[str] = None,
+                       align_mode: str = "crop") -> dict:
     """Align every image under original_path into aligned_path (same tree).
 
     Returns counters: {'aligned': n, 'copied': n, 'fallback': bool}.
     """
     from PIL import Image
 
-    mtcnn = _build_mtcnn(image_size, weights_dir=mtcnn_weights)
+    mtcnn = _build_mtcnn(image_size, weights_dir=mtcnn_weights,
+                         align_mode=align_mode)
     if mtcnn is None:
         print("WARNING: no MTCNN weights available — falling back to "
               "center-crop+resize (NO face detection). Provide "

@@ -285,7 +285,8 @@ def run_serve_cli(model_path: Optional[str] = None,
                   max_wait_ms: float = 5.0,
                   gallery: Optional[str] = None,
                   align: bool = False,
-                  mtcnn_weights: Optional[str] = None) -> int:
+                  mtcnn_weights: Optional[str] = None,
+                  align_mode: str = "crop") -> int:
     """Load the model the same way `face embed` does, then serve forever."""
     if model_path is not None:
         from face_recognition_models_tpu.serving.export import load_embedder
@@ -317,7 +318,8 @@ def run_serve_cli(model_path: Optional[str] = None,
     if align:
         from face_recognition_models_tpu.data.preprocess import (
             build_detector)
-        detector = build_detector(image_size, weights_dir=mtcnn_weights)
+        detector = build_detector(image_size, weights_dir=mtcnn_weights,
+                                  align_mode=align_mode)
         if detector is None:
             print("WARNING: --align requested but no MTCNN weights are "
                   "available — serving WITHOUT detection (inputs treated "
