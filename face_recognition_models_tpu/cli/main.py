@@ -620,6 +620,12 @@ def _add_export_parser(sub):
                         "inference-exact — ~8%% SLOWER on v5e where XLA "
                         "already fuses the BN affine, kept for backends "
                         "without that fusion; PERF.md)")
+    p.add_argument("--format", default="stablehlo",
+                   choices=["stablehlo", "torch"],
+                   help="stablehlo: self-contained .frte serving artifact; "
+                        "torch: a torchvision/insightface-layout state_dict "
+                        ".pth (the reverse of --pretrained) consumable by "
+                        "the torch ecosystem")
     return p
 
 
@@ -647,6 +653,19 @@ def cmd_export(args) -> int:
     name = finals[0][:-len("_final")] if finals else None
     restored = restore_backbone(args.checkpoint_dir, abstract, args.which,
                                 model_name=name)
+    if args.format == "torch":
+        import torch
+
+        from face_recognition_models_tpu.utils.torch_export import (
+            export_torch_state_dict)
+
+        sd = export_torch_state_dict(args.backbone, restored["params"],
+                                     restored["batch_stats"])
+        torch.save({k: torch.from_numpy(np.array(v))
+                    for k, v in sd.items()}, args.output)
+        print(f"exported {args.backbone} ({args.which}) -> {args.output} "
+              f"(torch state_dict, {len(sd)} tensors)")
+        return 0
     platforms = args.platforms.split(",") if args.platforms else None
     header = export_embedder(model, restored["params"],
                              restored["batch_stats"], args.output,
