@@ -645,7 +645,7 @@ def cmd_export(args) -> int:
     abstract = {"params": variables["params"],
                 "batch_stats": variables.get("batch_stats", {})}
     finals = sorted(d for d in os.listdir(args.checkpoint_dir)
-                    if d.endswith("_final") and not d.endswith("_final_ema"))
+                    if d.endswith("_final"))
     if not finals and args.which != "min_loss":
         print(f"error: no *_final checkpoint under {args.checkpoint_dir} "
               "(train to completion first)", file=sys.stderr)
@@ -714,7 +714,7 @@ def _add_serve_parser(sub):
         "serve",
         help="online embedding/identification HTTP service: concurrent "
              "requests coalesce into one fixed-shape device micro-batch "
-             "(b=8 costs +8% latency for 7.4x throughput on v5e — "
+             "(b=8 costs +8%% latency for 7.4x throughput on v5e — "
              "PERF.md 'Serving latency')")
     p.add_argument("--model", default=None,
                    help="serving artifact from `face export`")

@@ -392,8 +392,12 @@ class RecLoader:
         n = len(self.dataset)
         if self.shard is None:
             return n
-        rank, count = self.shard
-        return n // count + (1 if rank < n % count else 0)
+        # The MINIMUM shard length, identical on every rank: differing
+        # steps_per_epoch across hosts would deadlock the global-batch
+        # assembly at the epoch tail (one host dispatches a step the
+        # others never join). _epoch_order truncates to the same length.
+        _rank, count = self.shard
+        return n // count
 
     def steps_per_epoch(self) -> int:
         n = self._shard_len()
@@ -408,7 +412,7 @@ class RecLoader:
             np.random.RandomState(self.seed + epoch).shuffle(order)
         if self.shard is not None:
             rank, count = self.shard
-            order = order[rank::count]
+            order = order[rank::count][:self._shard_len()]
         return order
 
     def _decode_row(self, row: int) -> Optional[np.ndarray]:
@@ -485,13 +489,18 @@ class RecLoader:
         stop = threading.Event()
 
         def producer():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for s in range(steps):
-                    if stop.is_set():
-                        return
-                    idxs = order[s * bs:(s + 1) * bs]
-                    q.put(self._load_batch(pool, idxs, rng))
-            q.put(None)
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for s in range(steps):
+                        if stop.is_set():
+                            return
+                        idxs = order[s * bs:(s + 1) * bs]
+                        q.put(self._load_batch(pool, idxs, rng))
+                q.put(None)
+            except BaseException as exc:  # noqa: BLE001 — surface in consumer
+                # A decode/IO error must reach the training loop as an
+                # exception, not leave it blocked on q.get() forever.
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -500,6 +509,8 @@ class RecLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

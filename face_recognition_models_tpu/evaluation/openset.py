@@ -294,11 +294,9 @@ def _ids_from_paths(paths: np.ndarray) -> np.ndarray:
                        for p in paths])
 
 
-def _quality_gate(npz, emb: np.ndarray, ids: np.ndarray,
-                  min_quality: float, which: str
-                  ) -> Tuple[np.ndarray, np.ndarray]:
-    """Drop rows whose MagFace-norm quality (`face embed`'s `quality`
-    field, serving/embed.py:norm_quality) falls below min_quality."""
+def _quality_gate(npz, min_quality: float, which: str) -> np.ndarray:
+    """Keep-mask of rows whose MagFace-norm quality (`face embed`'s
+    `quality` field, serving/embed.py:norm_quality) is >= min_quality."""
     if "quality" not in npz:
         raise ValueError(
             f"--min-quality given but {which} npz has no 'quality' field; "
@@ -307,7 +305,7 @@ def _quality_gate(npz, emb: np.ndarray, ids: np.ndarray,
     if not keep.any():
         raise ValueError(
             f"min_quality={min_quality} removes every {which} image")
-    return emb[keep], ids[keep]
+    return keep
 
 
 def identify_from_npz(gallery_npz: str, probes_npz: str,
@@ -335,11 +333,10 @@ def identify_from_npz(gallery_npz: str, probes_npz: str,
     g_q = g["quality"] if "quality" in g else None
     p_q = p["quality"] if "quality" in p else None
     if min_quality > 0.0:
-        g_keep = _quality_gate(g, g_emb, g_ids, min_quality, "gallery")
-        p_keep = _quality_gate(p, p_emb, p_ids, min_quality, "probes")
-        (g_emb, g_ids), (p_emb, p_ids) = g_keep, p_keep
-        g_q = g_q[np.asarray(g["quality"]) >= min_quality]
-        p_q = p_q[np.asarray(p["quality"]) >= min_quality]
+        g_keep = _quality_gate(g, min_quality, "gallery")
+        p_keep = _quality_gate(p, min_quality, "probes")
+        g_emb, g_ids, g_q = g_emb[g_keep], g_ids[g_keep], g_q[g_keep]
+        p_emb, p_ids, p_q = p_emb[p_keep], p_ids[p_keep], p_q[p_keep]
 
     if pool not in ("none", "probes", "gallery", "both"):
         raise ValueError(f"pool must be none/probes/gallery/both: {pool!r}")

@@ -307,9 +307,18 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
 
         def step_fn(st, *a):
             st2, m = base_step_fn(st, *a)
+            if grad_accum > 1:
+                # Params only move on MultiSteps' k-th micro-step (both
+                # counters start at 0 and checkpoint together in state);
+                # lerping every micro-step would compound the decay
+                # k-fold and silently shrink the averaging window.
+                decay_t = jnp.where((st2.step % grad_accum) == 0,
+                                    ema_decay, 1.0)
+            else:
+                decay_t = ema_decay
             new_ema = jax.tree.map(
-                lambda e, p: (e * ema_decay
-                              + p.astype(e.dtype) * (1.0 - ema_decay)),
+                lambda e, p: (e * decay_t
+                              + p.astype(e.dtype) * (1.0 - decay_t)),
                 st2.ema_params, st2.params)
             return st2.replace(ema_params=new_ema), m
 

@@ -55,6 +55,24 @@ def distill_loss(student_feats, teacher_feats, mode: str):
     raise ValueError(f"unknown distill mode '{mode}' (cosine | mse)")
 
 
+def _frozen_opt_state(new_opt_state, old_opt_state):
+    """Frozen trunk: keep the optimizer's backbone slots byte-identical.
+
+    Zeroing the applied updates alone is not enough — torch-SGD folds wd
+    into the gradient BEFORE momentum, so even at zero grad the trunk's
+    momentum buffers would drift toward wd*p/(1-m) (garbage in
+    checkpoints, a kick on unfreeze) and every step would pay a
+    trunk-sized HBM read/modify/write. Restoring the old subtree makes
+    that math a dead value XLA prunes entirely."""
+    def is_params_dict(x):
+        return isinstance(x, dict) and "backbone" in x
+
+    return jax.tree.map(
+        lambda n, o: {**n, "backbone": o["backbone"]}
+        if is_params_dict(n) else n,
+        new_opt_state, old_opt_state, is_leaf=is_params_dict)
+
+
 def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
                     lambda_g: float = 0.0,
                     lr_schedule: Optional[Callable] = None,
@@ -169,10 +187,11 @@ def make_train_step(backbone, head, head_cfg, tx: optax.GradientTransformation,
         updates, new_opt_state = tx.update(grads, state.opt_state,
                                            state.params)
         if freeze_backbone:
-            # grads are already zero (stop_gradient); this stops wd/momentum
-            # from shifting the frozen weights, and XLA DCEs the math
+            # grads are already zero (stop_gradient); zero the wd-driven
+            # updates AND pin the optimizer's backbone slots
             updates = {**updates, "backbone": jax.tree.map(
                 jnp.zeros_like, updates["backbone"])}
+            new_opt_state = _frozen_opt_state(new_opt_state, state.opt_state)
         new_params = optax.apply_updates(state.params, updates)
 
         acc1, acc5 = topk_accuracy(out.pre_logits, labels, topk=(1, 5))
@@ -267,6 +286,7 @@ def _make_fused_train_step(backbone, head, head_cfg, tx, lambda_g,
         if freeze_backbone:
             updates = {**updates, "backbone": jax.tree.map(
                 jnp.zeros_like, updates["backbone"])}
+            new_opt_state = _frozen_opt_state(new_opt_state, state.opt_state)
         new_params = optax.apply_updates(state.params, updates)
 
         lr = (lr_schedule(state.step) if lr_schedule is not None

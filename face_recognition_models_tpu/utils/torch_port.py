@@ -305,16 +305,24 @@ def port_iresnet(state_dict: Dict, variables: Dict,
     # fc: torch [D, C*H*W] -> flax [H*W*C, D]
     w = _np(state_dict["fc.weight"])
     d_out, in_dim = w.shape
-    if in_dim == params["fc"]["kernel"].shape[0] \
-            and d_out == params["fc"]["kernel"].shape[1]:
-        c = stage_sizes and 64 * 2 ** (len(stage_sizes) - 1)
-        hw = in_dim // c
-        h = int(round(hw ** 0.5))
-        params["fc"] = {
-            "kernel": w.reshape(d_out, c, h, h).transpose(2, 3, 1, 0)
-            .reshape(in_dim, d_out),
-            "bias": _np(state_dict["fc.bias"]),
-        }
+    if (in_dim, d_out) != tuple(params["fc"]["kernel"].shape):
+        # Unlike torchvision classifiers (deliberately skipped when the
+        # reference swaps them for a fresh embedding), the iresnet fc IS
+        # the embedding layer — a shape mismatch means the model was
+        # built at a different image size than the checkpoint and the
+        # port would silently ship a random fc.
+        raise ValueError(
+            f"iresnet fc shape mismatch: checkpoint [{d_out}, {in_dim}] "
+            f"vs model {tuple(params['fc']['kernel'].shape)} — build the "
+            "model at the checkpoint's image size (112 for insightface)")
+    c = 64 * 2 ** (len(stage_sizes) - 1)
+    hw = in_dim // c
+    h = int(round(hw ** 0.5))
+    params["fc"] = {
+        "kernel": w.reshape(d_out, c, h, h).transpose(2, 3, 1, 0)
+        .reshape(in_dim, d_out),
+        "bias": _np(state_dict["fc.bias"]),
+    }
 
     fw = _np(state_dict["features.weight"])
     if not np.allclose(fw, 1.0, atol=1e-3):

@@ -189,6 +189,20 @@ def test_cli_train_optimizer_scheduler_flags(tmp_path, capsys):
     assert "Loss" in out
 
 
+def test_cli_help_renders_clean(capsys):
+    """`face --help` must render: an unescaped '%' in any help string
+    makes argparse %-interpolate the action dict into the text (or raise
+    ValueError on other format sequences)."""
+    from face_recognition_models_tpu.cli.main import main
+
+    with pytest.raises(SystemExit) as e:
+        main(["--help"])
+    assert e.value.code == 0
+    out = capsys.readouterr().out
+    assert "option_strings" not in out
+    assert "serve" in out
+
+
 def test_cli_train_rejects_unknown_optimizer(tmp_path):
     from face_recognition_models_tpu.cli.main import main
 

@@ -132,6 +132,23 @@ def test_port_rejects_unfrozen_feature_scale():
         port_iresnet(tmodel.state_dict(), variables, stages)
 
 
+def test_port_rejects_fc_shape_mismatch():
+    """A checkpoint built at a different image size must raise, not
+    silently leave the embedding fc at its random init (the iresnet fc
+    IS the embedding layer, unlike torchvision classifiers)."""
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.utils.torch_port import port_iresnet
+
+    stages = (2, 2, 2, 2)
+    tmodel = _TorchIResNet(stages, image_size=64)  # fc in = 4*4*512
+    jmodel = get_backbone("iresnet18", dtype=jnp.float32)
+    variables = jmodel.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 32, 32, 3)),  # fc in = 2*2*512
+                            train=False)
+    with pytest.raises(ValueError, match="fc shape mismatch"):
+        port_iresnet(tmodel.state_dict(), variables, stages)
+
+
 def test_forward_shape_and_nchw_rejection():
     from face_recognition_models_tpu.models import get_backbone
 

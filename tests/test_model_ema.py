@@ -163,6 +163,42 @@ def test_batch_eval_loads_final_ema_artifact(tmp_path, capsys):
 
 
 @pytest.mark.slow
+@pytest.mark.slow
+def test_ema_grad_accum_updates_per_optimizer_step(dataset):
+    """Under grad_accum=k the EMA must lerp once per OPTIMIZER step, not
+    per micro-batch (config.py documents per-optimizer-step semantics;
+    lerping every micro-step compounds the decay k-fold). One micro-step
+    per epoch -> the hook captures every per-micro-step params; the
+    closed form folds only the epochs where MultiSteps applied."""
+    decay, k, epochs = 0.9, 2, 6
+    captured = []
+
+    def hook(epoch, state, train_loss):
+        captured.append(jax.device_get(state.params))
+
+    run = fit(_cfg(epochs, model_ema=decay, grad_accum=k),
+              _loader(dataset), use_mesh=False, hooks=hook)
+
+    from face_recognition_models_tpu.train.optim import get_optimizer
+    from face_recognition_models_tpu.train.state import create_train_state
+    cfg0 = _cfg(epochs, model_ema=decay, grad_accum=k)
+    head_cfg = cfg_lib.make_head_config(cfg0.head, num_classes=C)
+    _, _, state0 = create_train_state(cfg0, head_cfg,
+                                      get_optimizer("sgd", 0.01))
+    expect = jax.device_get(state0.params)
+    for i, p in enumerate(captured, start=1):
+        if i % k != 0:
+            # params must be frozen between MultiSteps boundaries
+            jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b),
+                         p, expect if i == 1 else captured[i - 2])
+            continue
+        expect = jax.tree.map(lambda e, q: e * decay + q * (1 - decay),
+                              expect, p)
+    got = jax.device_get(run.state.ema_params)
+    jax.tree.map(lambda g, e: np.testing.assert_allclose(
+        g, e, rtol=2e-5, atol=1e-6), got, expect)
+
+
 def test_ema_and_grad_accum_on_mesh():
     """Both beyond-reference features through the sharded fit path: EMA
     subtree + MultiSteps acc_grads shard via the same path-based rules

@@ -156,6 +156,42 @@ def test_recloader_shard_partition(tmp_path):
     assert (sh0 == all_labs[0::2]).all()
 
 
+def test_recloader_uneven_shards_agree_on_steps(tmp_path):
+    """When len(dataset) doesn't divide the shard count, every rank must
+    still report the SAME steps_per_epoch and yield the SAME batch sizes
+    — a rank dispatching one extra step would deadlock the multihost
+    global-batch assembly at the epoch tail."""
+    prefix, _, _ = _synthetic_rec(tmp_path, n_ident=5, per_ident=5,
+                                  size=16)  # 25 items, 2 ranks -> 13/12
+    ds = RecordIODataset.open(prefix)
+    for drop in (True, False):
+        loaders = [RecLoader(ds, batch_size=4, image_size=16, seed=7,
+                             drop_remainder=drop, shard=(r, 2))
+                   for r in range(2)]
+        steps = {ld.steps_per_epoch() for ld in loaders}
+        assert len(steps) == 1, f"ranks disagree on steps: {steps}"
+        shapes = [[labs.shape for _, labs in ld.epoch(0)]
+                  for ld in loaders]
+        assert shapes[0] == shapes[1]
+        assert len(shapes[0]) == steps.pop()
+
+
+def test_recloader_producer_error_surfaces(tmp_path):
+    """A decode-path exception in the producer thread must propagate to
+    the consumer as an exception, not leave it blocked on q.get()."""
+    prefix, _, _ = _synthetic_rec(tmp_path, n_ident=3, per_ident=4,
+                                  size=16)
+    ds = RecordIODataset.open(prefix)
+    loader = RecLoader(ds, batch_size=4, image_size=16, seed=0)
+
+    def boom(*a, **kw):
+        raise ValueError("bad RecordIO magic (synthetic)")
+
+    loader._load_batch = boom
+    with pytest.raises(ValueError, match="bad RecordIO magic"):
+        list(loader.epoch(0))
+
+
 def test_recloader_corrupt_record_resampled(tmp_path):
     """A truncated JPEG payload must be resampled, not dropped (static
     batch shapes; reference drops via collate, model_utils.py:140-144)."""

@@ -411,6 +411,29 @@ def test_freeze_backbone_trains_head_only(tmp_path):
         (state.params["kernel_w"] == init_state.params["kernel_w"]).all())
     assert result.min_train_loss < 60.0  # fell from the ~64-ish start
 
+    # The optimizer's backbone slots must be pinned too: torch-SGD folds
+    # wd into the grad BEFORE momentum, so without _frozen_opt_state the
+    # trace would drift toward wd*p/(1-m) even at zero grad (stale-kick
+    # garbage in checkpoints).
+    def backbone_slots(node, found):
+        if isinstance(node, dict):
+            if "backbone" in node:
+                found.append(node["backbone"])
+            else:
+                for v in node.values():
+                    backbone_slots(v, found)
+        elif isinstance(node, (list, tuple)):
+            for v in node:
+                backbone_slots(v, found)
+        return found
+
+    slots = backbone_slots(jax.device_get(state.opt_state), [])
+    assert slots, "no backbone-shaped optimizer slots found"
+    for sub in slots:
+        for leaf in jax.tree.leaves(sub):
+            assert np.all(np.asarray(leaf) == 0.0), \
+                "frozen backbone momentum drifted"
+
 
 def test_freeze_backbone_guards(tmp_path):
     import pytest
