@@ -43,12 +43,23 @@ def _abstractify(tree: Any) -> Any:
 
 
 class CheckpointManager:
+    """async_save=True (default) makes epoch/best saves non-blocking: the
+    device->host copy and disk write run on orbax's background thread
+    while the next epoch trains (the reference's torch.save blocks the
+    loop, model_utils.py:43-60). At most ONE save is in flight — every
+    save/restore first drains the previous one, which is ~free since it
+    finished during the epoch — so rotation and destructive-resume stay
+    race-free. fit() drains on exit; callers driving the manager directly
+    should call wait_until_finished() before relying on the files."""
+
     def __init__(self, directory: str, model_name: str = "model",
-                 keep: int = 3):
+                 keep: int = 3, async_save: bool = True):
         self.directory = os.path.abspath(directory)
         self.model_name = model_name
         self.keep = keep
-        self._ckptr = ocp.StandardCheckpointer()
+        self.async_save = async_save
+        self._ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+                       if async_save else ocp.StandardCheckpointer())
 
     # ------------------------------------------------------------------
     def _epoch_dir(self, epoch: int) -> str:
@@ -71,6 +82,7 @@ class CheckpointManager:
     # ------------------------------------------------------------------
     def reset(self):
         """Fresh-run wipe (model_utils.py:532-534)."""
+        self._ckptr.wait_until_finished()  # never rmtree under a writer
         if os.path.isdir(self.directory):
             shutil.rmtree(self.directory)
         os.makedirs(self.directory, exist_ok=True)
@@ -83,19 +95,35 @@ class CheckpointManager:
                 "epoch": jnp.asarray(epoch, jnp.int32),
                 "train_loss": jnp.asarray(train_loss, jnp.float32)}
 
+    def wait_until_finished(self):
+        """Drain any in-flight async save (no-op when sync or idle)."""
+        self._ckptr.wait_until_finished()
+
     def save(self, state: Any, epoch: int, train_loss: float,
              is_best: bool = False):
-        """Save an epoch checkpoint (rotating keep-N) or the best snapshot."""
+        """Save an epoch checkpoint (rotating keep-N) or the best snapshot.
+
+        Async mode: returns as soon as the save is enqueued; the previous
+        save is drained first so the rmtree/rotation below never race a
+        write (orbax finalizes into the target dir by rename, so
+        _list_epochs never sees a half-written epoch either)."""
         os.makedirs(self.directory, exist_ok=True)
+        self._ckptr.wait_until_finished()
         target = self._best_dir if is_best else self._epoch_dir(epoch)
         if os.path.isdir(target):
             shutil.rmtree(target)
         self._ckptr.save(target, self._payload(state, epoch, train_loss))
-        self._ckptr.wait_until_finished()
+        if not self.async_save:
+            self._ckptr.wait_until_finished()
         if not is_best:
-            epochs = self._list_epochs()
+            # the in-flight save's epoch isn't on disk yet (orbax
+            # finalizes by rename) — count it explicitly so rotation
+            # doesn't run one epoch behind in async mode
+            epochs = sorted(set(self._list_epochs()) | {epoch})
             while len(epochs) > self.keep:
-                shutil.rmtree(self._epoch_dir(epochs.pop(0)))
+                victim = epochs.pop(0)
+                if victim != epoch:
+                    shutil.rmtree(self._epoch_dir(victim))
 
     # ------------------------------------------------------------------
     def restore(self, abstract_state: Any, mode: str = "latest"
@@ -108,6 +136,7 @@ class CheckpointManager:
         """
         if mode not in ("latest", "min_loss"):
             raise ValueError("mode must be 'latest' or 'min_loss'")
+        self._ckptr.wait_until_finished()  # same-process resume after async
         if not os.path.isdir(self.directory):
             return None, 1, float("inf")
 
@@ -137,9 +166,11 @@ class CheckpointManager:
         return payload["state"], epoch + 1, loss
 
     def save_final(self, state: Any, filename: Optional[str] = None):
-        """Final params-only save (model_utils.py:581)."""
+        """Final params-only save (model_utils.py:581). Always durable on
+        return — it is the artifact eval/export read next."""
         target = os.path.join(self.directory,
                               filename or f"{self.model_name}_final")
+        self._ckptr.wait_until_finished()
         if os.path.isdir(target):
             shutil.rmtree(target)
         self._ckptr.save(target, state)
@@ -149,6 +180,7 @@ class CheckpointManager:
                       filename: Optional[str] = None):
         target = os.path.join(self.directory,
                               filename or f"{self.model_name}_final")
+        self._ckptr.wait_until_finished()
         return self._ckptr.restore(target, _abstractify(abstract_state))
 
 

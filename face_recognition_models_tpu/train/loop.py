@@ -522,6 +522,9 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
 
     for sig, handler in prev_handlers.items():
         signal.signal(sig, handler)
+    if checkpoint_manager is not None:
+        # drain the last async epoch save before callers read the files
+        checkpoint_manager.wait_until_finished()
 
     wall = time.time() - t_train_start
     steps_run = global_step - (start_epoch - 1) * steps_per_epoch

@@ -41,9 +41,26 @@ def test_rotation_keeps_three(tmp_path):
     state = _state()
     for epoch in range(1, 6):
         mgr.save(state, epoch=epoch, train_loss=1.0)
+    mgr.wait_until_finished()  # the manager's file contract: drain first
     names = sorted(os.listdir(tmp_path))
     epochs = [n for n in names if n.startswith("epoch_")]
     assert epochs == ["epoch_3", "epoch_4", "epoch_5"]
+
+
+@pytest.mark.parametrize("async_save", [True, False])
+def test_async_and_sync_modes_round_trip(tmp_path, async_save):
+    """Both checkpointer modes must round-trip bit-exactly; async save
+    enqueues (background d2h + write) and any in-flight work is drained
+    by restore/save/wait so rotation and resume never race."""
+    mgr = CheckpointManager(str(tmp_path), "arc", async_save=async_save)
+    state = _state(7)
+    mgr.save(state, epoch=1, train_loss=3.0)
+    # immediately overwrite-save (drains the in-flight write first)
+    mgr.save(state, epoch=2, train_loss=2.0)
+    restored, start_epoch, loss = mgr.restore(state, mode="latest")
+    assert (start_epoch, loss) == (3, 2.0)
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_latest_resume_picks_highest_epoch(tmp_path):
