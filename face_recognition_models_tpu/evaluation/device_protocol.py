@@ -23,7 +23,6 @@ Protocol semantics replicated exactly:
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -85,9 +84,13 @@ def _device_protocol(sims: jnp.ndarray, labels: jnp.ndarray,
     j_stat = jnp.where(is_candidate, tpr - fpr, -_BIG)
     best = jnp.argmax(j_stat, axis=1)               # first max = highest thr
     # sklearn's roc_curve prepends a virtual (threshold=inf, J=0) point
-    # which argmax picks when no real candidate has J > 0.
-    thresholds = jnp.where(jnp.max(j_stat, axis=1) > 0.0, s[best],
-                           jnp.inf)                 # [K]
+    # which argmax picks when no real candidate has J > 0. A one-class
+    # fold makes sklearn's tpr or fpr all-NaN, so np.argmax(tpr - fpr)
+    # returns index 0 = that same inf threshold — replicate it exactly
+    # instead of letting max(tot, 1) invent a real threshold.
+    one_class = (tot_tp[:, 0] == 0.0) | (tot_fp[:, 0] == 0.0)
+    thresholds = jnp.where((jnp.max(j_stat, axis=1) > 0.0) & ~one_class,
+                           s[best], jnp.inf)        # [K]
 
     # --- accuracy on the other nine folds ---------------------------------
     train = ~val                                    # [K, P]
@@ -106,7 +109,6 @@ def _device_protocol(sims: jnp.ndarray, labels: jnp.ndarray,
         ord2 = jnp.argsort(jnp.where(sel, s, _BIG))
         s2 = s[ord2]
         y2 = y[ord2]
-        sel2 = sel[ord2]
         n = jnp.sum(self32)
         idx = jnp.arange(p, dtype=jnp.float32) + 1.0   # 1-based rank
         # average rank per tie group: group = runs of equal s2 among first n

@@ -251,7 +251,7 @@ def _bwd_dx_kernel(*refs, mode: int, num_classes: int, block_c: int,
 
 
 def _bwd_dw_kernel(*refs, mode: int, num_classes: int, block_c: int,
-                   block_n: int, clamp_eps, mm_dtype=jnp.float32,
+                   clamp_eps, mm_dtype=jnp.float32,
                    has_mem: bool = False):
     if has_mem:
         (xn_ref, wn_ref, memn_ref, lam_ref, label_ref, t_ref, scale_ref,
@@ -606,7 +606,7 @@ def _fused_bwd_impl(mode, clamp_eps, block_n, block_c, interpret, mm_dtype,
                    if has_mem else [])
     dw = pl.pallas_call(
         functools.partial(_bwd_dw_kernel, mode=mode, num_classes=c,
-                          block_c=block_c, block_n=block_n,
+                          block_c=block_c,
                           clamp_eps=clamp_eps, mm_dtype=mm_dtype,
                           has_mem=has_mem),
         grid=(c_pad // block_c, n_pad // block_n),

@@ -19,9 +19,6 @@ weights each shard's g_lse by exp(lse_local - lse_global).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

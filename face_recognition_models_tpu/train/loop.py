@@ -280,7 +280,7 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
             n_local = num_sampled_classes(
                 head_cfg.num_classes // mp, partial_fc, cfg.batch_size)
             step_fn = make_sharded_partial_fc_train_step(
-                backbone, head, head_cfg, tx, n_local, mesh=mesh, **common)
+                backbone, head_cfg, tx, n_local, mesh=mesh, **common)
         else:
             step_fn = make_partial_fc_train_step(
                 backbone, head, head_cfg, tx, n_sampled, **common)

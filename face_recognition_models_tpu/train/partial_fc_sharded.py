@@ -95,7 +95,7 @@ def _local_sample(rng, labels_full, c_local: int, n_slots: int,
 
 
 def make_sharded_partial_fc_train_step(
-        backbone, head, head_cfg, tx: optax.GradientTransformation,
+        backbone, head_cfg, tx: optax.GradientTransformation,
         num_sampled_local: int,
         learning_rate: Union[float, Callable],
         mesh: Mesh,
@@ -108,13 +108,17 @@ def make_sharded_partial_fc_train_step(
         crop_pad: int = 0, color_jitter: float = 0.0,
         random_erasing: float = 0.0,
         logq_correction: bool = True,
-        data_axis: str = "data", model_axis: str = "model") -> Callable:
+        model_axis: str = "model") -> Callable:
     """Sampled-classifier step with the kernel sharded over `model_axis`.
 
     num_sampled_local: sampled columns PER SHARD (>= batch positive slots
     + at least one negative). The global sample is mp * num_sampled_local.
     Supports the nine fusable margin heads (memory-blended VPL/QAFace
-    keep the dense path; their [C, D] memories key on absolute class id).
+    keep the dense path; their [C, D] memories key on absolute class id);
+    margin math is derived from head_cfg via the fused kernel's _row_params
+    rules, so no head object is taken. Batch inputs shard over whatever
+    axis the caller's in_shardings say (see train_state_shardings /
+    batch_sharding); only the class axis is handled here.
     """
     if not fused_supported(head_cfg.name) or head_cfg.name in MEM_FUSED_HEADS:
         raise ValueError(
@@ -170,8 +174,8 @@ def make_sharded_partial_fc_train_step(
             check_vma=False,
         )(kernel, mom, classes_local, g_ws, w_s, col_valid, lr)
 
-    n_slots_err = ("batch {} leaves no negative slots in "
-                   "num_sampled_local {}")
+    n_slots_err = ("per-shard positive slots {} (= min(batch, C/mp)) leave "
+                   "no negative slots in num_sampled_local {}")
 
     def train_step(state: TrainState, images, labels, minput_images=None):
         del minput_images

@@ -47,6 +47,32 @@ def test_device_matches_host(case):
     assert dev.mean_auc == pytest.approx(host.mean_auc, rel=1e-5)
 
 
+def test_one_class_folds_match_host():
+    """Extreme class skew (195 pos / 5 neg over 10 folds) yields held-out
+    folds with ZERO negatives: sklearn's roc_curve goes all-NaN there and
+    np.argmax picks the virtual threshold=inf point. The device path must
+    replicate that (threshold inf, accuracy = negative fraction), not
+    invent a real threshold from a 0/0-protected fpr."""
+    rs = np.random.RandomState(3)
+    sims = rs.uniform(-1.0, 1.0, 200).astype(np.float32)
+    labels = np.array([1] * 195 + [0] * 5)
+    perm = rs.permutation(200)
+    sims, labels = sims[perm], labels[perm]
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # sklearn UndefinedMetricWarning
+        host = kfold_verification(sims, labels)
+    dev = kfold_verification_device(sims, labels)
+
+    assert any(np.isinf(host.fold_thresholds)), "case lost its degeneracy"
+    np.testing.assert_allclose(dev.fold_thresholds, host.fold_thresholds,
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(dev.fold_accuracies, host.fold_accuracies,
+                               rtol=1e-5)
+    assert dev.mean_accuracy == pytest.approx(host.mean_accuracy, rel=1e-5)
+
+
 def test_device_protocol_deterministic():
     rs = np.random.RandomState(3)
     sims, labels = rs.randn(200).astype(np.float32), rs.randint(0, 2, 200)

@@ -46,7 +46,7 @@ def _make(head_name, C, batch, mesh=None, num_sampled_local=None,
         state = state.replace(
             opt_state=init_partial_fc_opt_state(tx, state.params))
         step = make_sharded_partial_fc_train_step(
-            backbone, head, head_cfg, tx, num_sampled_local,
+            backbone, head_cfg, tx, num_sampled_local,
             learning_rate=lr, mesh=mesh, logq_correction=logq)
         shardings = train_state_shardings(mesh, state, num_classes=C)
         state = jax.device_put(state, shardings)
@@ -174,14 +174,12 @@ def test_unsampled_local_columns_untouched():
 
 
 def test_memory_heads_rejected():
-    from face_recognition_models_tpu.heads import get_head
     mesh = make_mesh(cfg_lib.MeshConfig(data=2, model=4))
     head_cfg = cfg_lib.make_head_config("vpl_arcface", num_classes=64)
     tx = get_optimizer("sgd", 0.1)
     with pytest.raises(ValueError, match="does not support"):
         make_sharded_partial_fc_train_step(
-            None, get_head("vpl_arcface"), head_cfg, tx, 8,
-            learning_rate=0.1, mesh=mesh)
+            None, head_cfg, tx, 8, learning_rate=0.1, mesh=mesh)
 
 
 @pytest.mark.slow
