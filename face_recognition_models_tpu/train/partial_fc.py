@@ -72,17 +72,29 @@ def num_sampled_classes(num_classes: int, sample_ratio: float,
     return min(num_classes, want)
 
 
-def sample_negatives(scores: jnp.ndarray, k: int, max_pos: int):
+def sample_negatives(scores: jnp.ndarray, k: int, max_pos: int,
+                     shift=None):
     """Distinct uniform negative indices from random `scores` [C] whose
     positive entries were set to -1.
 
     Large C: a full top_k sorts all C scores — measured 69 ms at C=1M on
     v5e vs 4 ms for the bucketed form below, which takes k/B winners from
-    each of B equal buckets (every class keeps inclusion probability
-    ~k/C; selections stay distinct and positives stay excluded as long
-    as any bucket can seat its quota even if ALL `max_pos` positives land
-    in it — guaranteed by the B-selection test). Falls back to the exact
-    global top_k when no valid B exists or C is small.
+    each of B equal buckets (selections stay distinct and positives stay
+    excluded as long as any bucket can seat its quota even if ALL
+    `max_pos` positives land in it — guaranteed by the B-selection test).
+    Falls back to the exact global top_k when no valid B exists or C is
+    small.
+
+    Bucket assignment is decorrelated from class id two ways so the quota
+    sampler's per-class inclusion stays ~k/C (the assumption behind the
+    logQ correction) even when a batch's positives are clustered in id
+    space (consecutive identities — the common layout):
+    - the bucket of class i is its RESIDUE (i + shift) mod B over a
+      transposed [C/B, B] view, so adjacent ids always land in different
+      buckets;
+    - `shift` (a caller-keyed per-step int) rotates every class through
+      all B buckets uniformly across steps, so no fixed id pattern is
+      persistently advantaged.
     """
     c = scores.shape[0]
     b = 64
@@ -93,9 +105,14 @@ def sample_negatives(scores: jnp.ndarray, k: int, max_pos: int):
     if b == 1:
         _, neg = jax.lax.top_k(scores, k)
         return neg
-    _, idx = jax.lax.top_k(scores.reshape(b, c // b), k // b)
-    base = (jnp.arange(b, dtype=idx.dtype) * (c // b))[:, None]
-    return (idx + base).reshape(-1)
+    if shift is None:
+        shift = jnp.int32(0)
+    # rolled position p holds class (p - shift) mod C; the transpose puts
+    # position p in bucket p mod B, i.e. class i in bucket (i + shift) % B
+    rolled = jnp.roll(scores, shift)
+    _, idx = jax.lax.top_k(rolled.reshape(c // b, b).T, k // b)
+    pos = idx * b + jnp.arange(b, dtype=idx.dtype)[:, None]
+    return ((pos - shift) % c).reshape(-1)
 
 
 def sample_classes(rng, labels: jnp.ndarray, num_classes: int,
@@ -120,7 +137,10 @@ def sample_classes(rng, labels: jnp.ndarray, num_classes: int,
     # extra slot and are dropped)
     scores = jax.random.uniform(rng, (num_classes + 1,))
     scores = scores.at[pos].set(-1.0)
-    neg = sample_negatives(scores[:num_classes], num_sampled - n, n)
+    shift = jax.random.randint(jax.random.fold_in(rng, 1), (), 0,
+                               num_classes)
+    neg = sample_negatives(scores[:num_classes], num_sampled - n, n,
+                           shift=shift)
     classes = jnp.concatenate([jnp.where(pos_valid, pos, 0), neg])
     col_valid = jnp.concatenate(
         [pos_valid, jnp.ones((num_sampled - n,), bool)])
@@ -160,11 +180,13 @@ def make_partial_fc_train_step(
     omits this (their ratios keep C_s large); on by default here.
 
     Caveat: the correction assumes exact-uniform inclusion q = (C_s - N) /
-    (C - u). The bucketed sampler (sample_negatives) only approximates
-    that — when a batch's positives cluster into one bucket, that bucket's
-    non-positives see up to (k/B)/((C/B) - n) inclusion instead of k/(C-u),
-    a ≤N/(C/B) relative skew (≤3% at C=1M, B=64, N=512). Accepted as
-    documented; the global top_k path below C~64k is exact.
+    (C - u); the bucketed sampler's quota is per bucket, so a bucket with
+    n of the batch's positives gives its non-positives (k/B)/((C/B) - n)
+    inclusion. sample_negatives makes that deviation unbiased: class ids
+    map to buckets by keyed-shifted residue mod B, so adjacent-identity
+    batches can't pile positives into one bucket and every class cycles
+    through all buckets across steps (uniformity tested empirically in
+    tests/test_partial_fc.py). The global top_k path below C~64k is exact.
     """
     if head.name in UNSUPPORTED_HEADS:
         raise ValueError(

@@ -85,7 +85,10 @@ def _local_sample(rng, labels_full, c_local: int, n_slots: int,
         sample_negatives)
     scores = jax.random.uniform(shard_rng, (c_local + 1,))
     scores = scores.at[pos].set(-1.0)  # sentinel writes land in slot C
-    neg = sample_negatives(scores[:c_local], c_s_local - n_slots, n_slots)
+    shift = jax.random.randint(jax.random.fold_in(shard_rng, 1), (), 0,
+                               c_local)
+    neg = sample_negatives(scores[:c_local], c_s_local - n_slots, n_slots,
+                           shift=shift)
 
     classes = jnp.concatenate([jnp.where(pos_valid, pos, 0), neg])
     col_valid = jnp.concatenate(

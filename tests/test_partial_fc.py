@@ -271,9 +271,43 @@ def test_bucketed_negative_sampler_large_c():
     assert len(neg) == k
     assert len(set(neg.tolist())) == k                  # distinct
     assert not set(neg.tolist()) & set(pos.tolist())    # excludes positives
-    # bucketed: exactly k/64 selections per 2048-wide bucket
-    counts = np.bincount(neg // (C // 64), minlength=64)
+    # bucketed: exactly k/64 selections per residue-mod-64 bucket
+    counts = np.bincount(neg % 64, minlength=64)
     assert (counts == k // 64).all()
+    # keyed shift rotates bucket assignment but keeps the contract
+    neg_s = np.asarray(sample_negatives(scores, k, n, shift=jnp.int32(17)))
+    assert len(set(neg_s.tolist())) == k
+    assert not set(neg_s.tolist()) & set(pos.tolist())
+    assert (np.bincount((neg_s + 17) % 64, minlength=64) == k // 64).all()
+
+
+def test_bucketed_sampler_unbiased_under_clustered_positives():
+    """The quota sampler's documented failure mode: a batch of ADJACENT
+    identities piles its positives into one contiguous bucket, giving that
+    bucket's survivors ~2x inclusion probability and biasing the logQ
+    correction. Residue bucketing + keyed shift must keep the empirical
+    inclusion of near-cluster classes equal to far classes."""
+    from face_recognition_models_tpu.train.partial_fc import sample_classes
+
+    C, n, num_sampled = 65536, 512, 2560             # k = 2048
+    labels = jnp.arange(n)                           # clustered: ids 0..511
+
+    @jax.jit
+    def draw(key):
+        classes, _, _ = sample_classes(key, labels, C, num_sampled)
+        return classes[n:]
+
+    counts = np.zeros(C, np.int64)
+    reps = 400
+    for i in range(reps):
+        counts += np.bincount(np.asarray(draw(jax.random.PRNGKey(i))),
+                              minlength=C)
+    assert counts[:n].sum() == 0                     # never a positive
+    uniform = reps * (num_sampled - n) / (C - n)
+    near = counts[n:2 * n].mean()                    # old bias: ~2x uniform
+    far = counts[C // 2:C // 2 + n].mean()
+    assert abs(near - uniform) / uniform < 0.08, (near, uniform)
+    assert abs(far - uniform) / uniform < 0.08, (far, uniform)
 
 
 def test_negative_sampler_small_c_exact():
