@@ -80,3 +80,87 @@ def test_two_process_multihost_fit(tmp_path):
     # both hosts observe the identical global loss
     assert losses[0] == pytest.approx(losses[1], abs=1e-6), losses
     assert np.isfinite(losses[0])
+
+
+_REC_WORKER = r'''
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 4)
+pid, port, prefix = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=2,
+                           process_id=pid)
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.data.recordio import (RecLoader,
+                                                       RecordIODataset)
+from face_recognition_models_tpu.parallel import make_mesh
+from face_recognition_models_tpu.train.loop import fit
+
+cfg = cfg_lib.TrainConfig(
+    backbone="resnet18", head="arcface", num_classes=8, batch_size=16,
+    epochs=2, print_freq=1, seed=0, use_pallas_head=False,
+    mesh=cfg_lib.MeshConfig(data=4, model=2),
+    data=cfg_lib.DataConfig(image_size=16),
+    optimizer=cfg_lib.OptimizerConfig(learning_rate=0.05))
+ds = RecordIODataset.open(prefix)
+loader = RecLoader(ds, batch_size=8, image_size=16, num_workers=2, seed=0,
+                   drop_remainder=True, shard=(pid, 2))
+assert loader.steps_per_epoch() == 1, loader.steps_per_epoch()
+mesh = make_mesh(cfg.mesh)
+result = fit(cfg, loader, use_mesh=True, mesh=mesh)
+print(f"RESULT {pid} {result.min_train_loss:.6f}", flush=True)
+'''
+
+
+@pytest.mark.slow
+def test_two_process_multihost_recordio_fit(tmp_path):
+    """Multihost RecordIO training over an UNEVEN dataset: 31 records over
+    2 hosts gave shard lengths 16/15 before the min-shard-length fix, so
+    host 0 dispatched a second step host 1 never joined — the global batch
+    assembly deadlocked at the epoch tail. Both hosts must now agree on
+    steps_per_epoch (1) and finish 2 epochs with identical global loss
+    (a hang here trips the subprocess timeout)."""
+    import io
+
+    from PIL import Image
+
+    from face_recognition_models_tpu.data.recordio import write_recordio
+
+    rs = np.random.RandomState(0)
+    labels = np.sort(rs.randint(0, 8, 31))
+    payloads = []
+    for lab in labels:
+        arr = np.full((16, 16, 3), 20 + 10 * int(lab), np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="JPEG", quality=95)
+        payloads.append(buf.getvalue())
+    prefix = str(tmp_path / "train")
+    write_recordio(prefix, payloads, labels.astype(np.int64))
+
+    worker = tmp_path / "rec_worker.py"
+    worker.write_text(_REC_WORKER)
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = ""
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(pid), "19437", prefix],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd="/root/repo")
+        for pid in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            outs.append(p.communicate(timeout=900)[0])
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost RecordIO fit deadlocked (epoch-tail step "
+                    "mismatch regression)")
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out[-3000:]}"
+    losses = [float([l for l in out.splitlines()
+                     if l.startswith("RESULT")][0].split()[2])
+              for out in outs]
+    assert losses[0] == pytest.approx(losses[1], abs=1e-6), losses
+    assert np.isfinite(losses[0])
