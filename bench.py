@@ -21,7 +21,11 @@ def main():
     batch = 512
     # optional positional backbone override (driver runs the default)
     name = sys.argv[1] if len(sys.argv) > 1 else "resnet50"
-    model = get_backbone(name)
+    # bf16 BN compute for inference: +1.9% over fp32-BN (46.7k vs 45.8k
+    # img/s, PERF.md); verification accuracy is unchanged (batch statistics
+    # are running stats here, and the convergence table shows bf16-BN
+    # parity). Training keeps fp32 BN as the parity default.
+    model = get_backbone(name, bn_dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     variables = model.init(rng, jnp.zeros((1, 112, 112, 3), jnp.float32),
                            train=False)
