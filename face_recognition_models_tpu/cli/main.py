@@ -697,6 +697,11 @@ def _add_embed_parser(sub):
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--bn-dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16",
+                   help="BatchNorm compute dtype; bfloat16 is +1.9%% "
+                        "throughput at unchanged accuracy (PERF.md), "
+                        "float32 matches training numerics bit for bit")
     return p
 
 
@@ -706,7 +711,8 @@ def cmd_embed(args) -> int:
         input_dir=args.input, output=args.output, model_path=args.model,
         checkpoint_dir=args.checkpoint_dir, backbone=args.backbone,
         which=args.which, image_size=args.image_size,
-        batch_size=args.batch_size, num_workers=args.num_workers)
+        batch_size=args.batch_size, num_workers=args.num_workers,
+        bn_dtype=args.bn_dtype)
 
 
 def _add_serve_parser(sub):
@@ -744,6 +750,9 @@ def _add_serve_parser(sub):
                    help="with --align: 'crop' = box crop+resize; 'warp' = "
                         "5-landmark similarity warp onto the ArcFace "
                         "template (detection/align.py)")
+    p.add_argument("--bn-dtype", choices=["float32", "bfloat16"],
+                   default="bfloat16",
+                   help="BatchNorm compute dtype (see `face embed`)")
     return p
 
 
@@ -755,7 +764,8 @@ def cmd_serve(args) -> int:
         image_size=args.image_size, host=args.host, port=args.port,
         micro_batch=args.micro_batch, max_wait_ms=args.max_wait_ms,
         gallery=args.gallery, align=args.align,
-        mtcnn_weights=args.mtcnn_weights, align_mode=args.align_mode)
+        mtcnn_weights=args.mtcnn_weights, align_mode=args.align_mode,
+        bn_dtype=args.bn_dtype)
 
 
 def _add_identify_parser(sub):

@@ -286,7 +286,8 @@ def run_serve_cli(model_path: Optional[str] = None,
                   gallery: Optional[str] = None,
                   align: bool = False,
                   mtcnn_weights: Optional[str] = None,
-                  align_mode: str = "crop") -> int:
+                  align_mode: str = "crop",
+                  bn_dtype: str = "bfloat16") -> int:
     """Load the model the same way `face embed` does, then serve forever."""
     if model_path is not None:
         from face_recognition_models_tpu.serving.export import load_embedder
@@ -299,7 +300,9 @@ def run_serve_cli(model_path: Optional[str] = None,
         from face_recognition_models_tpu.models import get_backbone
         from face_recognition_models_tpu.train.step import make_eval_step
 
-        model = get_backbone(backbone)
+        # bf16 BN inference default (+1.9% throughput, PERF.md "Headline")
+        import jax.numpy as jnp
+        model = get_backbone(backbone, bn_dtype=jnp.dtype(bn_dtype))
         dummy = np.zeros((1, image_size, image_size, 3), np.float32)
         variables = model.init({"params": jax.random.PRNGKey(0),
                                 "dropout": jax.random.PRNGKey(0)},
