@@ -210,17 +210,21 @@ class PackedLoader:
         stop = threading.Event()
 
         def producer():
-            for s in range(steps):
-                if stop.is_set():
-                    return
-                idxs = order[s * bs:(s + 1) * bs]
-                # sorted gather is sequential-friendly for cold memmaps;
-                # restore the shuffled within-batch order afterwards
-                sort = np.argsort(idxs, kind="stable")
-                batch = np.empty((len(idxs),) + images.shape[1:], np.uint8)
-                batch[sort] = images[idxs[sort]]
-                q.put((batch, labels[idxs]))
-            q.put(None)
+            try:
+                for s in range(steps):
+                    if stop.is_set():
+                        return
+                    idxs = order[s * bs:(s + 1) * bs]
+                    # sorted gather is sequential-friendly for cold
+                    # memmaps; restore the shuffled within-batch order
+                    sort = np.argsort(idxs, kind="stable")
+                    batch = np.empty((len(idxs),) + images.shape[1:],
+                                     np.uint8)
+                    batch[sort] = images[idxs[sort]]
+                    q.put((batch, labels[idxs]))
+                q.put(None)
+            except BaseException as exc:  # noqa: BLE001 — surface, not hang
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -229,6 +233,8 @@ class PackedLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

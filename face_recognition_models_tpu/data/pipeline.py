@@ -186,13 +186,16 @@ class Loader:
         stop = threading.Event()
 
         def producer():
-            with cf.ThreadPoolExecutor(self.num_workers) as pool:
-                for s in range(steps):
-                    if stop.is_set():
-                        return
-                    idxs = order[s * bs:(s + 1) * bs]
-                    q.put(self._load_batch(pool, idxs, rng))
-            q.put(None)
+            try:
+                with cf.ThreadPoolExecutor(self.num_workers) as pool:
+                    for s in range(steps):
+                        if stop.is_set():
+                            return
+                        idxs = order[s * bs:(s + 1) * bs]
+                        q.put(self._load_batch(pool, idxs, rng))
+                q.put(None)
+            except BaseException as exc:  # noqa: BLE001 — surface, not hang
+                q.put(exc)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -201,6 +204,8 @@ class Loader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

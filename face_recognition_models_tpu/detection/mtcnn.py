@@ -76,17 +76,20 @@ class PNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(10, (3, 3), padding="VALID", name="conv1")(x)
-        x = PReLU(10, name="prelu1")(x)
-        x = _ceil_pool(x, 2, 2)
-        x = nn.Conv(16, (3, 3), padding="VALID", name="conv2")(x)
-        x = PReLU(16, name="prelu2")(x)
-        x = nn.Conv(32, (3, 3), padding="VALID", name="conv3")(x)
-        x = PReLU(32, name="prelu3")(x)
-        prob = jax.nn.softmax(
-            nn.Conv(2, (1, 1), name="conv4_1")(x), axis=-1)
-        reg = nn.Conv(4, (1, 1), name="conv4_2")(x)
-        return prob, reg
+        # threshold decisions and sub-pixel landmarks are
+        # accuracy-sensitive (CLAUDE.md matmul-precision rule)
+        with jax.default_matmul_precision("float32"):
+            x = nn.Conv(10, (3, 3), padding="VALID", name="conv1")(x)
+            x = PReLU(10, name="prelu1")(x)
+            x = _ceil_pool(x, 2, 2)
+            x = nn.Conv(16, (3, 3), padding="VALID", name="conv2")(x)
+            x = PReLU(16, name="prelu2")(x)
+            x = nn.Conv(32, (3, 3), padding="VALID", name="conv3")(x)
+            x = PReLU(32, name="prelu3")(x)
+            prob = jax.nn.softmax(
+                nn.Conv(2, (1, 1), name="conv4_1")(x), axis=-1)
+            reg = nn.Conv(4, (1, 1), name="conv4_2")(x)
+            return prob, reg
 
 
 class RNet(nn.Module):
@@ -94,19 +97,22 @@ class RNet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(28, (3, 3), padding="VALID", name="conv1")(x)
-        x = PReLU(28, name="prelu1")(x)
-        x = _ceil_pool(x, 3, 2)
-        x = nn.Conv(48, (3, 3), padding="VALID", name="conv2")(x)
-        x = PReLU(48, name="prelu2")(x)
-        x = _ceil_pool(x, 3, 2)
-        x = nn.Conv(64, (2, 2), padding="VALID", name="conv3")(x)
-        x = PReLU(64, name="prelu3")(x)
-        x = nn.Dense(128, name="dense4")(_flatten_whc(x))
-        x = PReLU(128, name="prelu4")(x)
-        prob = jax.nn.softmax(nn.Dense(2, name="dense5_1")(x), axis=-1)
-        reg = nn.Dense(4, name="dense5_2")(x)
-        return prob, reg
+        # threshold decisions and sub-pixel landmarks are
+        # accuracy-sensitive (CLAUDE.md matmul-precision rule)
+        with jax.default_matmul_precision("float32"):
+            x = nn.Conv(28, (3, 3), padding="VALID", name="conv1")(x)
+            x = PReLU(28, name="prelu1")(x)
+            x = _ceil_pool(x, 3, 2)
+            x = nn.Conv(48, (3, 3), padding="VALID", name="conv2")(x)
+            x = PReLU(48, name="prelu2")(x)
+            x = _ceil_pool(x, 3, 2)
+            x = nn.Conv(64, (2, 2), padding="VALID", name="conv3")(x)
+            x = PReLU(64, name="prelu3")(x)
+            x = nn.Dense(128, name="dense4")(_flatten_whc(x))
+            x = PReLU(128, name="prelu4")(x)
+            prob = jax.nn.softmax(nn.Dense(2, name="dense5_1")(x), axis=-1)
+            reg = nn.Dense(4, name="dense5_2")(x)
+            return prob, reg
 
 
 class ONet(nn.Module):
@@ -114,23 +120,26 @@ class ONet(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(32, (3, 3), padding="VALID", name="conv1")(x)
-        x = PReLU(32, name="prelu1")(x)
-        x = _ceil_pool(x, 3, 2)
-        x = nn.Conv(64, (3, 3), padding="VALID", name="conv2")(x)
-        x = PReLU(64, name="prelu2")(x)
-        x = _ceil_pool(x, 3, 2)
-        x = nn.Conv(64, (3, 3), padding="VALID", name="conv3")(x)
-        x = PReLU(64, name="prelu3")(x)
-        x = _ceil_pool(x, 2, 2)
-        x = nn.Conv(128, (2, 2), padding="VALID", name="conv4")(x)
-        x = PReLU(128, name="prelu4")(x)
-        x = nn.Dense(256, name="dense5")(_flatten_whc(x))
-        x = PReLU(256, name="prelu5")(x)
-        prob = jax.nn.softmax(nn.Dense(2, name="dense6_1")(x), axis=-1)
-        reg = nn.Dense(4, name="dense6_2")(x)
-        lmk = nn.Dense(10, name="dense6_3")(x)
-        return prob, reg, lmk
+        # threshold decisions and sub-pixel landmarks are
+        # accuracy-sensitive (CLAUDE.md matmul-precision rule)
+        with jax.default_matmul_precision("float32"):
+            x = nn.Conv(32, (3, 3), padding="VALID", name="conv1")(x)
+            x = PReLU(32, name="prelu1")(x)
+            x = _ceil_pool(x, 3, 2)
+            x = nn.Conv(64, (3, 3), padding="VALID", name="conv2")(x)
+            x = PReLU(64, name="prelu2")(x)
+            x = _ceil_pool(x, 3, 2)
+            x = nn.Conv(64, (3, 3), padding="VALID", name="conv3")(x)
+            x = PReLU(64, name="prelu3")(x)
+            x = _ceil_pool(x, 2, 2)
+            x = nn.Conv(128, (2, 2), padding="VALID", name="conv4")(x)
+            x = PReLU(128, name="prelu4")(x)
+            x = nn.Dense(256, name="dense5")(_flatten_whc(x))
+            x = PReLU(256, name="prelu5")(x)
+            prob = jax.nn.softmax(nn.Dense(2, name="dense6_1")(x), axis=-1)
+            reg = nn.Dense(4, name="dense6_2")(x)
+            lmk = nn.Dense(10, name="dense6_3")(x)
+            return prob, reg, lmk
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +247,32 @@ def _regress(boxes: np.ndarray, reg: np.ndarray) -> np.ndarray:
     return out
 
 
+def _resize_weights(in_size: int, out_size: int) -> np.ndarray:
+    """[out, in] weight matrix replicating jax.image.resize 'bilinear'
+    (triangle kernel, antialiased on downscale, edge-normalized)."""
+    scale = out_size / in_size
+    sample = (np.arange(out_size) + 0.5) / scale - 0.5
+    kscale = min(scale, 1.0)
+    x = (sample[:, None] - np.arange(in_size)[None, :]) * kscale
+    w = np.maximum(0.0, 1.0 - np.abs(x))
+    total = w.sum(axis=1, keepdims=True)
+    return np.where(total > 0, w / total, 0.0).astype(np.float32)
+
+
+def _np_bilinear_resize(patch: np.ndarray, size: int) -> np.ndarray:
+    """Host bilinear resize matching jax.image.resize(..., 'bilinear').
+
+    Pure numpy on purpose: the per-box patch shapes are data-dependent,
+    and a device resize would compile one XLA program PER DISTINCT SHAPE
+    — unbounded compile-cache growth in a long-lived `face serve --align`
+    process (and each compile stalls the tunnel). Two small matmuls per
+    box cost microseconds on host.
+    """
+    wh = _resize_weights(patch.shape[0], size)
+    ww = _resize_weights(patch.shape[1], size)
+    return np.einsum("oi,ijc,pj->opc", wh, patch, ww, optimize=True)
+
+
 def _crop_resize(img: np.ndarray, boxes: np.ndarray, size: int
                  ) -> np.ndarray:
     """Crop float boxes (clamped, zero-padded) and bilinear-resize."""
@@ -253,8 +288,7 @@ def _crop_resize(img: np.ndarray, boxes: np.ndarray, size: int
         patch = np.zeros((iy2 - iy1, ix2 - ix1, 3), np.float32)
         patch[sy1 - iy1:sy2 - iy1, sx1 - ix1:sx2 - ix1] = \
             img[sy1:sy2, sx1:sx2]
-        out[i] = np.asarray(jax.image.resize(
-            jnp.asarray(patch), (size, size, 3), "bilinear"))
+        out[i] = _np_bilinear_resize(patch, size)
     return out
 
 

@@ -231,7 +231,6 @@ def open_set_identification(gallery_emb: np.ndarray,
         scores = probe_emb @ gallery_emb.T
         pooled, uniq = _best_per_identity(scores, gallery_ids)
     top_score = pooled.max(axis=1)
-    top_col = pooled.argmax(axis=1)
 
     mated = np.isin(probe_ids, uniq)
     if not mated.any() or mated.all():
@@ -243,7 +242,11 @@ def open_set_identification(gallery_emb: np.ndarray,
     top1_correct = np.zeros(len(probe_ids), bool)
     m_idx = np.where(mated)[0]
     true_col = np.searchsorted(uniq, probe_ids[m_idx])
-    top1_correct[m_idx] = top_col[m_idx] == true_col
+    # same tie convention as the CMC below (rank = count of STRICTLY
+    # greater identities): an exact score tie counts as rank-1, so don't
+    # let argmax's first-column preference fail the mated probe when the
+    # tied impostor happens to sort earlier
+    top1_correct[m_idx] = (pooled[m_idx, true_col] >= top_score[m_idx])
 
     cmc = {k: float(100.0 * np.mean(
         (pooled[m_idx] > pooled[m_idx, true_col][:, None]).sum(axis=1) < k))

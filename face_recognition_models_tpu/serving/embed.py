@@ -71,6 +71,13 @@ def embed_directory(embed_fn: Callable, root: str, image_size: int,
     (embeddings [N, D] fp32, relative paths, pre-normalization norms [N]).
     Order matches paths.
 
+    Unlike training (where the Loader's static-shape policy RESAMPLES a
+    corrupt image to a random other index), embedding is an attribution:
+    row i must be path i's face, so any decode failure raises instead of
+    silently writing some other person's embedding under that path. The
+    PIL backend is forced for the same reason — the native decoder is
+    JPEG-only and a mixed jpg/png tree must not fail-and-resample.
+
     The last batch is padded (static device shapes) by repeating the final
     image; padding rows are dropped from the result."""
     from face_recognition_models_tpu.data.pipeline import Loader
@@ -82,10 +89,16 @@ def embed_directory(embed_fn: Callable, root: str, image_size: int,
         index.rels = index.rels + index.rels[-1:] * pad
     loader = Loader(index, batch_size=batch_size, image_size=image_size,
                     shuffle=False, num_workers=num_workers,
-                    drop_remainder=False)
+                    drop_remainder=False, backend="pil")
 
     chunks = []
     for images, _labels in loader.epoch(0):
+        if loader.skipped_images:
+            raise ValueError(
+                f"{loader.skipped_images} image(s) under {root} failed to "
+                "decode; embeddings would be misattributed (the loader "
+                "substitutes a random other image). Remove or fix the "
+                "corrupt files and re-run.")
         chunks.append(np.asarray(embed_fn(images), np.float32))
     emb = np.concatenate(chunks, axis=0)[:n]
     paths = index.rels[:n]
@@ -95,6 +108,45 @@ def embed_directory(embed_fn: Callable, root: str, image_size: int,
     return emb, list(paths), norms
 
 
+def load_embed_fn(model_path: Optional[str], checkpoint_dir: Optional[str],
+                  backbone: str, which: str, image_size: int,
+                  bn_dtype: str = "bfloat16"):
+    """Resolve an embedding function from either a `face export` artifact
+    or a training checkpoint dir (shared by `face embed` and `face serve`).
+
+    Returns (embed_fn, image_size) — image_size may be overridden by the
+    artifact's own. bf16 BN compute is the inference default: +1.9%
+    throughput at unchanged accuracy (PERF.md "Headline"); pass
+    bn_dtype="float32" to match training parity numerics bit for bit.
+    Raises ValueError when neither source is given.
+    """
+    if model_path is not None:
+        from face_recognition_models_tpu.serving.export import load_embedder
+        art = load_embedder(model_path)
+        return art.fn, art.image_size
+    if checkpoint_dir is None:
+        raise ValueError("provide --model or --checkpoint-dir")
+
+    import jax
+    import jax.numpy as jnp
+
+    from face_recognition_models_tpu.checkpoint import restore_backbone
+    from face_recognition_models_tpu.models import get_backbone
+    from face_recognition_models_tpu.train.step import make_eval_step
+
+    model = get_backbone(backbone, bn_dtype=jnp.dtype(bn_dtype))
+    dummy = np.zeros((1, image_size, image_size, 3), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(0)},
+                           dummy, train=False)
+    abstract = {"params": variables["params"],
+                "batch_stats": variables.get("batch_stats", {})}
+    restored = restore_backbone(checkpoint_dir, abstract, which)
+    eval_step = jax.jit(make_eval_step(model))
+    return (lambda im: eval_step(restored["params"],
+                                 restored["batch_stats"], im)), image_size
+
+
 def run_embed_cli(input_dir: str, output: str,
                   model_path: Optional[str] = None,
                   checkpoint_dir: Optional[str] = None,
@@ -102,34 +154,12 @@ def run_embed_cli(input_dir: str, output: str,
                   image_size: int = 112, batch_size: int = 256,
                   num_workers: int = 8,
                   bn_dtype: str = "bfloat16") -> int:
-    if model_path is not None:
-        from face_recognition_models_tpu.serving.export import load_embedder
-        art = load_embedder(model_path)
-        embed_fn, image_size = art.fn, art.image_size
-    elif checkpoint_dir is not None:
-        import jax
-
-        from face_recognition_models_tpu.checkpoint import restore_backbone
-        from face_recognition_models_tpu.models import get_backbone
-        from face_recognition_models_tpu.train.step import make_eval_step
-
-        # bf16 BN compute is the inference default: +1.9% throughput, same
-        # embeddings-accuracy (PERF.md "Headline"); pass float32 to match
-        # training parity numerics bit for bit.
-        import jax.numpy as jnp
-        model = get_backbone(backbone, bn_dtype=jnp.dtype(bn_dtype))
-        dummy = np.zeros((1, image_size, image_size, 3), np.float32)
-        variables = model.init({"params": jax.random.PRNGKey(0),
-                                "dropout": jax.random.PRNGKey(0)},
-                               dummy, train=False)
-        abstract = {"params": variables["params"],
-                    "batch_stats": variables.get("batch_stats", {})}
-        restored = restore_backbone(checkpoint_dir, abstract, which)
-        eval_step = jax.jit(make_eval_step(model))
-        embed_fn = lambda im: eval_step(restored["params"],
-                                        restored["batch_stats"], im)
-    else:
-        print("error: provide --model or --checkpoint-dir")
+    try:
+        embed_fn, image_size = load_embed_fn(
+            model_path, checkpoint_dir, backbone, which, image_size,
+            bn_dtype)
+    except ValueError as e:
+        print(f"error: {e}")
         return 2
 
     emb, paths, norms = embed_directory(embed_fn, input_dir, image_size,

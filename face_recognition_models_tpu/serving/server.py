@@ -101,12 +101,15 @@ class MicroBatcher:
             self._flush(items)
 
     def _flush(self, items):
-        imgs = np.stack([im for im, _ in items])
-        pad = self.batch_size - len(items)
-        if pad:
-            imgs = np.concatenate(
-                [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
         try:
+            # stack/pad inside the try: a mis-shaped submit (grayscale,
+            # wrong size) must error THAT batch's waiters, not kill the
+            # worker thread and hang every future request
+            imgs = np.stack([im for im, _ in items])
+            pad = self.batch_size - len(items)
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.zeros((pad,) + imgs.shape[1:], imgs.dtype)])
             emb = np.asarray(self.embed_fn(imgs), np.float32)
             for row, (_, slot) in enumerate(items):
                 slot["result"] = emb[row]
@@ -209,6 +212,8 @@ class EmbedService:
     def identify_bytes(self, data: bytes, top_k: int = 5) -> dict:
         if self.gallery_emb is None:
             raise LookupError("no gallery loaded (start with --gallery)")
+        if int(top_k) < 1:
+            raise ValueError(f"top_k must be >= 1 (got {top_k})")
         out = self.embed_bytes(data)
         scores = self.gallery_emb @ np.asarray(out["embedding"], np.float32)
         k = min(int(top_k), len(scores))
@@ -249,10 +254,21 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200, self.service.health())
         self._json(404, {"error": f"unknown path {self.path}"})
 
+    MAX_BODY = 64 * 1024 * 1024  # one photo, not a DoS vector
+
     def do_POST(self):
         parsed = urlparse(self.path)
         try:
+            if parsed.path not in ("/embed", "/identify", "/detect"):
+                return self._json(404,
+                                  {"error": f"unknown path {parsed.path}"})
             length = int(self.headers.get("Content-Length", 0))
+            # never rfile.read(-1): under keep-alive it blocks until the
+            # client closes, pinning this handler thread forever
+            if length <= 0 or length > self.MAX_BODY:
+                return self._json(413 if length > 0 else 400, {
+                    "error": f"Content-Length must be in (0, "
+                             f"{self.MAX_BODY}] (got {length})"})
             data = self.rfile.read(length)
             if parsed.path == "/embed":
                 return self._json(200, self.service.embed_bytes(data))
@@ -261,9 +277,8 @@ class _Handler(BaseHTTPRequestHandler):
                 top_k = int(q.get("top_k", ["5"])[0])
                 return self._json(200,
                                   self.service.identify_bytes(data, top_k))
-            if parsed.path == "/detect":
-                return self._json(200, self.service.detect_bytes(data))
-            return self._json(404, {"error": f"unknown path {parsed.path}"})
+            assert parsed.path == "/detect"  # routes validated above
+            return self._json(200, self.service.detect_bytes(data))
         except LookupError as e:
             self._json(409, {"error": str(e)})
         except Exception as e:
@@ -289,32 +304,13 @@ def run_serve_cli(model_path: Optional[str] = None,
                   align_mode: str = "crop",
                   bn_dtype: str = "bfloat16") -> int:
     """Load the model the same way `face embed` does, then serve forever."""
-    if model_path is not None:
-        from face_recognition_models_tpu.serving.export import load_embedder
-        art = load_embedder(model_path)
-        embed_fn, image_size = art.fn, art.image_size
-    elif checkpoint_dir is not None:
-        import jax
-
-        from face_recognition_models_tpu.checkpoint import restore_backbone
-        from face_recognition_models_tpu.models import get_backbone
-        from face_recognition_models_tpu.train.step import make_eval_step
-
-        # bf16 BN inference default (+1.9% throughput, PERF.md "Headline")
-        import jax.numpy as jnp
-        model = get_backbone(backbone, bn_dtype=jnp.dtype(bn_dtype))
-        dummy = np.zeros((1, image_size, image_size, 3), np.float32)
-        variables = model.init({"params": jax.random.PRNGKey(0),
-                                "dropout": jax.random.PRNGKey(0)},
-                               dummy, train=False)
-        abstract = {"params": variables["params"],
-                    "batch_stats": variables.get("batch_stats", {})}
-        restored = restore_backbone(checkpoint_dir, abstract, which)
-        eval_step = jax.jit(make_eval_step(model))
-        embed_fn = lambda im: eval_step(restored["params"],
-                                        restored["batch_stats"], im)
-    else:
-        print("error: provide --model or --checkpoint-dir")
+    from face_recognition_models_tpu.serving.embed import load_embed_fn
+    try:
+        embed_fn, image_size = load_embed_fn(
+            model_path, checkpoint_dir, backbone, which, image_size,
+            bn_dtype)
+    except ValueError as e:
+        print(f"error: {e}")
         return 2
 
     detector = None

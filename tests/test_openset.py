@@ -102,6 +102,26 @@ def test_open_set_identification_oracle():
     assert res.thresholds[0.05] >= res.thresholds[0.5]
 
 
+def test_open_set_tie_convention_consistent():
+    """An exact score tie between the true identity and a lower-indexed
+    impostor must count as rank-1 for BOTH the CMC and the TPIR top-1
+    check (argmax used to prefer the first column and silently fail the
+    mated probe)."""
+    d = 4
+    gal = np.eye(d)[:2]
+    gal_ids = np.array([0, 1])
+    # mated probe for identity 1 sitting exactly between the two axes:
+    # score ties with impostor identity 0, which sorts first
+    tied = _unit(np.array([[1.0, 1.0, 0.0, 0.0]]))
+    nonmated = _unit(np.array([[0.0, 0.0, 1.0, 0.0]] * 5))
+    probes = np.concatenate([tied, nonmated])
+    probe_ids = np.concatenate([[1], 100 + np.arange(5)])
+    res = open_set_identification(gal, gal_ids, probes, probe_ids,
+                                  fpirs=(1.0,), ranks=(1,))
+    assert res.cmc[1] == 100.0
+    assert res.tpir_at_fpir[1.0] == 100.0  # was 0.0 with argmax ties
+
+
 def test_open_set_requires_both_populations():
     gal = _unit(np.eye(3))
     with pytest.raises(ValueError, match="mated and"):

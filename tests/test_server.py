@@ -154,6 +154,47 @@ def test_http_healthz_and_errors(served):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(url + "/nope", b"")
     assert e.value.code == 404
+    # body bounds: empty body on a real route -> 400; huge declared
+    # Content-Length -> 413 (never rfile.read(-1) / unbounded buffering)
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/embed", b"")
+    assert e.value.code == 400
+    req = urllib.request.Request(url + "/embed", data=b"x",
+                                 method="POST")
+    req.add_header("Content-Length", str(1 << 40))
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 413
+    # negative top_k must be rejected, not return the whole gallery
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url + "/identify?top_k=-1", _jpeg_bytes(
+            np.zeros((IMG, IMG, 3), np.uint8)))
+    assert e.value.code in (400, 409)
+
+
+def test_microbatcher_bad_shape_errors_batch_not_worker():
+    """A mis-shaped submit must error its own waiters and leave the
+    worker alive for subsequent well-formed requests (np.stack failures
+    used to kill the thread and hang the service forever)."""
+    from face_recognition_models_tpu.serving.server import MicroBatcher
+
+    import threading
+
+    mb = MicroBatcher(_fake_embed, batch_size=4, max_wait_ms=5.0)
+    try:
+        slots = [{"event": threading.Event(), "result": None,
+                  "error": None} for _ in range(2)]
+        # grayscale coalesced with a good image: np.stack raises inside
+        # _flush; both waiters must get the error
+        mb._flush([(np.zeros((7, 7), np.uint8), slots[0]),
+                   (np.zeros((IMG, IMG, 3), np.uint8), slots[1])])
+        for s in slots:
+            assert s["event"].is_set() and s["error"] is not None
+        # the worker thread is untouched; normal requests still serve
+        out = mb.submit(np.zeros((IMG, IMG, 3), np.uint8), timeout=10)
+        assert np.isfinite(out).all()
+    finally:
+        mb.close()
 
 
 def test_http_identify_with_gallery(served, tmp_path):

@@ -104,6 +104,29 @@ def test_embed_directory_order_and_padding(tmp_path, tiny_model):
     np.testing.assert_allclose(emb[i], ref[0], rtol=1e-4, atol=1e-5)
 
 
+def test_embed_directory_rejects_corrupt_image(tmp_path, tiny_model):
+    """Embedding is attribution: a corrupt file must raise, not silently
+    receive a random other image's embedding (the training loader's
+    resample policy)."""
+    from PIL import Image
+
+    model, variables = tiny_model
+    rs = np.random.RandomState(0)
+    root = tmp_path / "imgs"
+    root.mkdir()
+    for name in ("a.jpg", "b.jpg", "c.jpg"):
+        Image.fromarray(rs.randint(0, 256, (32, 32, 3), np.uint8)).save(
+            root / name)
+    (root / "broken.jpg").write_bytes(b"\xff\xd8 not really a jpeg")
+
+    eval_step = jax.jit(make_eval_step(model))
+    embed_fn = lambda im: eval_step(variables["params"],
+                                    variables.get("batch_stats", {}), im)
+    with pytest.raises(ValueError, match="failed to decode"):
+        embed_directory(embed_fn, str(root), image_size=32, batch_size=2,
+                        num_workers=2)
+
+
 def test_norm_quality_magface_map():
     """Quality is the reference's norm->margin affine map rescaled to
     [0, 1] (criterion.py:1229-1232: clamp to [l_a, u_a], then linear)."""
