@@ -182,8 +182,10 @@ class PackedLoader:
         n = len(self.dataset)
         if self.shard is None:
             return n
-        rank, count = self.shard
-        return n // count + (1 if rank < n % count else 0)
+        # MINIMUM shard length on every rank (multihost epoch-tail law;
+        # see data/recordio.py RecLoader._shard_len)
+        _rank, count = self.shard
+        return n // count
 
     def steps_per_epoch(self) -> int:
         n = self._shard_len()
@@ -196,7 +198,7 @@ class PackedLoader:
             np.random.RandomState(self.seed + epoch).shuffle(order)
         if self.shard is not None:
             rank, count = self.shard
-            order = order[rank::count]
+            order = order[rank::count][:self._shard_len()]
         return order
 
     def epoch(self, epoch: int = 0

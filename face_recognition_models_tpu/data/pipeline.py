@@ -101,8 +101,11 @@ class Loader:
         n = len(self._paths)
         if self.shard is None:
             return n
-        rank, count = self.shard
-        return n // count + (1 if rank < n % count else 0)
+        # MINIMUM shard length on every rank: differing steps_per_epoch
+        # across hosts deadlocks the global-batch assembly at the epoch
+        # tail (see data/recordio.py RecLoader._shard_len — same law).
+        _rank, count = self.shard
+        return n // count
 
     def steps_per_epoch(self) -> int:
         n = self._shard_len()
@@ -114,7 +117,7 @@ class Loader:
             np.random.RandomState(self.seed + epoch).shuffle(order)
         if self.shard is not None:
             rank, count = self.shard
-            order = order[rank::count]
+            order = order[rank::count][:self._shard_len()]
         return order
 
     def _load_batch(self, pool: cf.ThreadPoolExecutor, idxs: np.ndarray,

@@ -122,6 +122,10 @@ def load_embed_fn(model_path: Optional[str], checkpoint_dir: Optional[str],
     """
     if model_path is not None:
         from face_recognition_models_tpu.serving.export import load_embedder
+        if bn_dtype != "bfloat16":
+            print("WARNING: --bn-dtype has no effect on exported "
+                  "artifacts (the BN compute dtype is baked in at "
+                  "`face export` time)")
         art = load_embedder(model_path)
         return art.fn, art.image_size
     if checkpoint_dir is None:

@@ -246,6 +246,8 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        if self.close_connection:
+            self.send_header("Connection", "close")
         self.end_headers()
         self.wfile.write(body)
 
@@ -260,12 +262,16 @@ class _Handler(BaseHTTPRequestHandler):
         parsed = urlparse(self.path)
         try:
             if parsed.path not in ("/embed", "/identify", "/detect"):
+                # responding without reading the body would desync a
+                # keep-alive connection (next parse starts mid-body)
+                self.close_connection = True
                 return self._json(404,
                                   {"error": f"unknown path {parsed.path}"})
             length = int(self.headers.get("Content-Length", 0))
             # never rfile.read(-1): under keep-alive it blocks until the
             # client closes, pinning this handler thread forever
             if length <= 0 or length > self.MAX_BODY:
+                self.close_connection = True  # unread body: don't reuse
                 return self._json(413 if length > 0 else 400, {
                     "error": f"Content-Length must be in (0, "
                              f"{self.MAX_BODY}] (got {length})"})

@@ -444,6 +444,10 @@ def fit(cfg: cfg_lib.TrainConfig, loader, logger=None,
                         [np.atleast_1d(np.asarray(x, np.float32))
                          for x in losses])))
                     checkpoint_manager.save(state, epoch - 1, partial)
+                    # drain BEFORE claiming success: the async write is
+                    # still in flight and a failure only surfaces on the
+                    # next wait — which would never come after SystemExit
+                    checkpoint_manager.wait_until_finished()
                     print(f"### Preemption: saved checkpoint at epoch "
                           f"{epoch - 1} step {i} — resume with "
                           f"continue_train='latest' ###")

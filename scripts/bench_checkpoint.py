@@ -45,8 +45,9 @@ def main():
     _, _, state = create_train_state(cfg, head_cfg, get_optimizer("sgd", 0.1))
     nbytes = sum(x.nbytes for x in jax.tree.leaves(state)
                  if hasattr(x, "nbytes"))
-    # materialize on device (init is lazy-ish under jit)
-    jax.block_until_ready(state.params["kernel_w"])
+    # materialize on device before timing; a value FETCH is the only
+    # reliable sync through the tunnel (CLAUDE.md: block_until_ready lies)
+    float(state.params["kernel_w"][0, 0])
 
     tmp = tempfile.mkdtemp(prefix="ckpt_bench_")
     mgr = CheckpointManager(tmp, "bench", keep=2,

@@ -171,29 +171,32 @@ def test_native_decoder_corrupt_resample(tree):
 
 def test_loader_sharding_partitions_epoch(tmp_path):
     """shard=(rank, count): per-epoch global shuffle is identical across
-    ranks and the rank slices are a disjoint cover of the dataset."""
+    ranks, rank slices are disjoint, and every rank yields EXACTLY
+    n//count items (the multihost epoch-tail law — uneven shard lengths
+    deadlock the global-batch assembly; up to count-1 tail items are
+    dropped per epoch when count doesn't divide n)."""
     from face_recognition_models_tpu.data import ImageFolderIndex, Loader
     from face_recognition_models_tpu.data.synthetic import (
         synthetic_identities,
         write_identity_tree,
     )
 
-    images, labels = synthetic_identities(3, 7, image_size=8, seed=0)
+    images, labels = synthetic_identities(5, 5, image_size=8, seed=0)
     write_identity_tree(str(tmp_path), images, labels, split="train")
     index = ImageFolderIndex.build(str(tmp_path), split="train")
-    n = len(index)
+    n = len(index)  # 25: NOT divisible by 3 ranks
 
-    seen = []
+    seen, steps = [], set()
     for rank in range(3):
         loader = Loader(index, batch_size=4, image_size=8, num_workers=1,
                         seed=5, shard=(rank, 3), drop_remainder=False)
+        steps.add(loader.steps_per_epoch())
         got = []
         for _imgs, lbs in loader.epoch(2):
             got.extend(int(x) for x in lbs)
-        assert len(got) == loader.steps_per_epoch() * 4 or True
         seen.append(got)
+    assert len(steps) == 1  # every rank agrees on the step count
     counts = [len(s) for s in seen]
-    assert sum(counts) == n
-    assert max(counts) - min(counts) <= 1  # balanced
+    assert counts == [n // 3] * 3  # uniform; tail (n % 3) dropped
     with pytest.raises(ValueError, match="bad shard"):
         Loader(index, batch_size=4, image_size=8, shard=(3, 3))

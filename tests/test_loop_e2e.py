@@ -236,3 +236,83 @@ def test_fit_warm_start_uses_given_backbone(dataset):
         lambda a, b: np.testing.assert_allclose(np.asarray(a),
                                                 np.asarray(b), rtol=1e-6),
         stage2.state.params["backbone"], warm[0])
+
+
+_PREEMPT_WORKER = r'''
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.checkpoint import CheckpointManager
+from face_recognition_models_tpu.data.pipeline import ArrayLoader
+from face_recognition_models_tpu.data.synthetic import synthetic_identities
+from face_recognition_models_tpu.train.loop import fit
+
+ckpt_dir = sys.argv[1]
+images, labels = synthetic_identities(4, 4, image_size=16, seed=0,
+                                      noise=10.0)
+loader = ArrayLoader(images, labels, batch_size=8, seed=0)
+cfg = cfg_lib.TrainConfig(
+    backbone="resnet18", head="cosface", num_classes=4, batch_size=8,
+    epochs=10000, seed=0, print_freq=1,
+    data=cfg_lib.DataConfig(image_size=16),
+    optimizer=cfg_lib.OptimizerConfig(learning_rate=0.02))
+mgr = CheckpointManager(ckpt_dir, "cosface")
+print("WORKER_READY", flush=True)
+fit(cfg, loader, checkpoint_manager=mgr, use_mesh=False)
+'''
+
+
+@pytest.mark.slow
+def test_preemption_sigterm_saves_resumable_checkpoint(tmp_path):
+    """SURVEY 5.3: SIGTERM mid-training must finish the step, write (and
+    DRAIN — the save is async) a checkpoint, and exit 143; the artifact
+    must then restore via continue_train='latest'."""
+    import signal
+    import subprocess
+    import sys as _sys
+    import time
+
+    worker = tmp_path / "preempt_worker.py"
+    worker.write_text(_PREEMPT_WORKER)
+    ckpt = tmp_path / "ckpt"
+    proc = subprocess.Popen(
+        [_sys.executable, str(worker), str(ckpt)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd="/root/repo")
+    # wait until training is in its steady loop (first epochs saved)
+    deadline = time.monotonic() + 600
+    while time.monotonic() < deadline:
+        if (ckpt / "epoch_2").is_dir():
+            break
+        if proc.poll() is not None:
+            break
+        time.sleep(1.0)
+    assert proc.poll() is None, proc.communicate()[0][-3000:]
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 143, out[-3000:]
+    assert "Preemption: saved checkpoint" in out
+
+    # the saved state restores and resumes
+    from face_recognition_models_tpu import config as cfg_lib2
+    from face_recognition_models_tpu.checkpoint import CheckpointManager
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities)
+    from face_recognition_models_tpu.train.loop import fit
+
+    images, labels = synthetic_identities(4, 4, image_size=16, seed=0,
+                                          noise=10.0)
+    loader = ArrayLoader(images, labels, batch_size=8, seed=0)
+    epochs_saved = max(int(d.name.split("_")[1])
+                       for d in ckpt.iterdir() if d.name.startswith("epoch_"))
+    cfg = cfg_lib2.TrainConfig(
+        backbone="resnet18", head="cosface", num_classes=4, batch_size=8,
+        epochs=epochs_saved + 1, seed=0, continue_train="latest",
+        data=cfg_lib2.DataConfig(image_size=16),
+        optimizer=cfg_lib2.OptimizerConfig(learning_rate=0.02))
+    mgr = CheckpointManager(str(ckpt), "cosface")
+    result = fit(cfg, loader, checkpoint_manager=mgr, use_mesh=False)
+    assert np.isfinite(result.min_train_loss)

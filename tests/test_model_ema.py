@@ -163,7 +163,6 @@ def test_batch_eval_loads_final_ema_artifact(tmp_path, capsys):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_ema_grad_accum_updates_per_optimizer_step(dataset):
     """Under grad_accum=k the EMA must lerp once per OPTIMIZER step, not
     per micro-batch (config.py documents per-optimizer-step semantics;
@@ -199,6 +198,7 @@ def test_ema_grad_accum_updates_per_optimizer_step(dataset):
         g, e, rtol=2e-5, atol=1e-6), got, expect)
 
 
+@pytest.mark.slow
 def test_ema_and_grad_accum_on_mesh():
     """Both beyond-reference features through the sharded fit path: EMA
     subtree + MultiSteps acc_grads shard via the same path-based rules
