@@ -60,6 +60,29 @@ class CheckpointManager:
         self.async_save = async_save
         self._ckptr = (ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
                        if async_save else ocp.StandardCheckpointer())
+        # rotation victims of the most recent async save, deleted only
+        # once that save is confirmed finished — a failed background save
+        # must never have already destroyed the oldest good checkpoint
+        self._pending_victims: list = []
+        self._inflight_label: Optional[str] = None
+
+    def _drain(self):
+        """Wait for the in-flight save; on success apply its deferred
+        rotation, on failure keep the victims and name the failed save."""
+        try:
+            self._ckptr.wait_until_finished()
+        except Exception as e:
+            label, self._inflight_label = self._inflight_label, None
+            self._pending_victims.clear()  # keep the old checkpoints
+            if label is not None:
+                raise RuntimeError(
+                    f"async checkpoint save of {label!r} failed") from e
+            raise
+        self._inflight_label = None
+        victims, self._pending_victims = self._pending_victims, []
+        for path in victims:
+            if os.path.isdir(path):
+                shutil.rmtree(path)
 
     # ------------------------------------------------------------------
     def _epoch_dir(self, epoch: int) -> str:
@@ -82,7 +105,8 @@ class CheckpointManager:
     # ------------------------------------------------------------------
     def reset(self):
         """Fresh-run wipe (model_utils.py:532-534)."""
-        self._ckptr.wait_until_finished()  # never rmtree under a writer
+        self._drain()  # never rmtree under a writer
+        self._pending_victims.clear()  # everything goes anyway
         if os.path.isdir(self.directory):
             shutil.rmtree(self.directory)
         os.makedirs(self.directory, exist_ok=True)
@@ -96,8 +120,9 @@ class CheckpointManager:
                 "train_loss": jnp.asarray(train_loss, jnp.float32)}
 
     def wait_until_finished(self):
-        """Drain any in-flight async save (no-op when sync or idle)."""
-        self._ckptr.wait_until_finished()
+        """Drain any in-flight async save (no-op when sync or idle);
+        applies any rotation deferred behind that save."""
+        self._drain()
 
     def save(self, state: Any, epoch: int, train_loss: float,
              is_best: bool = False):
@@ -106,24 +131,33 @@ class CheckpointManager:
         Async mode: returns as soon as the save is enqueued; the previous
         save is drained first so the rmtree/rotation below never race a
         write (orbax finalizes into the target dir by rename, so
-        _list_epochs never sees a half-written epoch either)."""
+        _list_epochs never sees a half-written epoch either). Rotation
+        victims are deleted only AFTER the next drain confirms this save
+        landed — a background failure never leaves keep-1 checkpoints."""
         os.makedirs(self.directory, exist_ok=True)
-        self._ckptr.wait_until_finished()
+        self._drain()
         target = self._best_dir if is_best else self._epoch_dir(epoch)
         if os.path.isdir(target):
             shutil.rmtree(target)
         self._ckptr.save(target, self._payload(state, epoch, train_loss))
+        self._inflight_label = os.path.basename(target)
         if not self.async_save:
-            self._ckptr.wait_until_finished()
+            self._drain()
         if not is_best:
             # the in-flight save's epoch isn't on disk yet (orbax
             # finalizes by rename) — count it explicitly so rotation
             # doesn't run one epoch behind in async mode
             epochs = sorted(set(self._list_epochs()) | {epoch})
+            victims = []
             while len(epochs) > self.keep:
                 victim = epochs.pop(0)
                 if victim != epoch:
-                    shutil.rmtree(self._epoch_dir(victim))
+                    victims.append(self._epoch_dir(victim))
+            if self.async_save:
+                self._pending_victims.extend(victims)
+            else:
+                for path in victims:
+                    shutil.rmtree(path)
 
     # ------------------------------------------------------------------
     def restore(self, abstract_state: Any, mode: str = "latest"
@@ -136,7 +170,7 @@ class CheckpointManager:
         """
         if mode not in ("latest", "min_loss"):
             raise ValueError("mode must be 'latest' or 'min_loss'")
-        self._ckptr.wait_until_finished()  # same-process resume after async
+        self._drain()  # same-process resume after async
         if not os.path.isdir(self.directory):
             return None, 1, float("inf")
 
@@ -170,17 +204,18 @@ class CheckpointManager:
         return — it is the artifact eval/export read next."""
         target = os.path.join(self.directory,
                               filename or f"{self.model_name}_final")
-        self._ckptr.wait_until_finished()
+        self._drain()
         if os.path.isdir(target):
             shutil.rmtree(target)
         self._ckptr.save(target, state)
-        self._ckptr.wait_until_finished()
+        self._inflight_label = os.path.basename(target)
+        self._drain()
 
     def restore_final(self, abstract_state: Any,
                       filename: Optional[str] = None):
         target = os.path.join(self.directory,
                               filename or f"{self.model_name}_final")
-        self._ckptr.wait_until_finished()
+        self._drain()
         return self._ckptr.restore(target, _abstractify(abstract_state))
 
 

@@ -355,6 +355,13 @@ def cmd_train(args) -> int:
             mgr.save_final({"params": eval_params,
                             "batch_stats": result.state.batch_stats},
                            filename=f"{model_name}_final_ema")
+        # upload/record the checkpoint artifacts (the reference's
+        # end-of-training wandb.save, model_utils.py:581-582)
+        for artifact in (f"{model_name}_final", f"{model_name}_final_ema",
+                         f"{model_name}_best_acc", "min_loss"):
+            apath = os.path.join(mgr.directory, artifact)
+            if os.path.isdir(apath):
+                logger.save_artifact(apath)
         logger.finish()
         print(f"Done in {time.time() - t0:.0f}s — min train loss "
               f"{result.min_train_loss:.6f}, "

@@ -136,7 +136,7 @@ class Loader:
             [self._paths[i] for i in idxs], self.image_size,
             n_threads=self.num_workers)
         # resample failed slots (static-shape policy), PIL as last resort
-        for attempt in range(4):
+        for attempt in range(8):
             bad = np.flatnonzero(status)
             if not len(bad):
                 break
@@ -151,7 +151,14 @@ class Loader:
             status[bad] = status_r
         for slot in np.flatnonzero(status):
             arr = _decode_image(self._paths[idxs[slot]], self.image_size)
-            images[slot] = (arr if arr is not None else 0)
+            if arr is None:
+                # 9 independent records all undecodable: the dataset is
+                # corrupt — fail loudly rather than silently training the
+                # last label on a black image
+                raise RuntimeError(
+                    "persistent image decode failures (last: "
+                    f"{self._paths[idxs[slot]]}); dataset appears corrupt")
+            images[slot] = arr
         return images, self._labels[idxs]
 
     def _load_batch_pil(self, pool: cf.ThreadPoolExecutor, idxs: np.ndarray,
@@ -161,7 +168,7 @@ class Loader:
                           np.uint8)
         labels = np.empty((len(idxs),), np.int32)
 
-        def fill(slot: int, idx: int, attempts: int = 4):
+        def fill(slot: int, idx: int, attempts: int = 8):
             arr = _decode_image(self._paths[idx], self.image_size)
             while arr is None and attempts > 0:
                 # static-shape policy: resample instead of dropping
@@ -170,8 +177,9 @@ class Loader:
                 arr = _decode_image(self._paths[idx], self.image_size)
                 attempts -= 1
             if arr is None:
-                arr = np.zeros((self.image_size, self.image_size, 3),
-                               np.uint8)
+                raise RuntimeError(
+                    "persistent image decode failures (last: "
+                    f"{self._paths[idx]}); dataset appears corrupt")
             images[slot] = arr
             labels[slot] = self._labels[idx]
 

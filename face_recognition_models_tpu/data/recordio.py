@@ -436,7 +436,7 @@ class RecLoader:
             self._mm, ds.payload_offsets[idxs], ds.payload_lengths[idxs],
             self.image_size, n_threads=self.num_workers)
         # resample failed slots (static-shape policy), PIL as last resort
-        for _attempt in range(4):
+        for _attempt in range(8):
             bad = np.flatnonzero(status)
             if not len(bad):
                 break
@@ -452,7 +452,14 @@ class RecLoader:
             status[bad] = status_r
         for slot in np.flatnonzero(status):
             arr = self._decode_row(int(idxs[slot]))
-            images[slot] = (arr if arr is not None else 0)
+            if arr is None:
+                # 9 independent records all undecodable: fail loudly
+                # rather than silently training a real label on a black
+                # image
+                raise RuntimeError(
+                    f"persistent record decode failures (last: record "
+                    f"{int(idxs[slot])}); dataset appears corrupt")
+            images[slot] = arr
         return images, ds.labels[idxs]
 
     def _load_batch_pil(self, pool: cf.ThreadPoolExecutor,
@@ -463,7 +470,7 @@ class RecLoader:
                           np.uint8)
         labels = np.empty((len(idxs),), np.int32)
 
-        def fill(slot: int, row: int, attempts: int = 4):
+        def fill(slot: int, row: int, attempts: int = 8):
             arr = self._decode_row(row)
             while arr is None and attempts > 0:
                 self.skipped_images += 1
@@ -471,8 +478,9 @@ class RecLoader:
                 arr = self._decode_row(row)
                 attempts -= 1
             if arr is None:
-                arr = np.zeros((self.image_size, self.image_size, 3),
-                               np.uint8)
+                raise RuntimeError(
+                    f"persistent record decode failures (last: record "
+                    f"{row}); dataset appears corrupt")
             images[slot] = arr
             labels[slot] = self.dataset.labels[row]
 

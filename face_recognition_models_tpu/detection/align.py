@@ -44,6 +44,11 @@ def template_for(image_size: int) -> np.ndarray:
     return ARCFACE_TEMPLATE_112 * (float(image_size) / 112.0)
 
 
+class DegenerateLandmarksError(ValueError):
+    """Landmarks with ~zero variance (coincident points): no similarity
+    transform exists. Alignment callers treat this as 'no usable face'."""
+
+
 def umeyama(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     """Least-squares similarity transform (rotation + uniform scale +
     translation) mapping `src` [K, 2] onto `dst` [K, 2].
@@ -64,6 +69,12 @@ def umeyama(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
     mu_s, mu_d = src.mean(axis=0), dst.mean(axis=0)
     cs, cd = src - mu_s, dst - mu_d
     var_s = (cs ** 2).sum() / len(src)
+    # coincident source landmarks have no defined similarity transform —
+    # fail loudly instead of dividing by ~0 into a NaN-filled warp
+    if var_s <= 1e-8 * max(1.0, float(np.abs(src).max()) ** 2):
+        raise DegenerateLandmarksError(
+            "degenerate source landmarks (zero variance): cannot estimate "
+            "a similarity transform")
     cov = cd.T @ cs / len(src)                       # [2, 2]
 
     u, s, vt = np.linalg.svd(cov)
@@ -143,7 +154,12 @@ def extract_aligned(detector, image: np.ndarray,
         return None
     best = int(np.argmax(probs))
     size = int(image_size or getattr(detector, "image_size", 112))
-    return norm_crop(np.asarray(image), landmarks[best], size)
+    try:
+        return norm_crop(np.asarray(image), landmarks[best], size)
+    except DegenerateLandmarksError:
+        # a collapsed landmark set is a junk detection, not a face —
+        # report "nothing usable" so callers take their no-face fallback
+        return None
 
 
 class WarpAligner:

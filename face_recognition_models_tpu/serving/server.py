@@ -267,6 +267,15 @@ class _Handler(BaseHTTPRequestHandler):
                 self.close_connection = True
                 return self._json(404,
                                   {"error": f"unknown path {parsed.path}"})
+            if "chunked" in self.headers.get(
+                    "Transfer-Encoding", "").lower():
+                # we never read a chunked body, so the connection can't be
+                # reused — and the client deserves a real reason, not a
+                # misleading Content-Length complaint
+                self.close_connection = True
+                return self._json(411, {
+                    "error": "chunked transfer encoding is not supported; "
+                             "send Content-Length"})
             length = int(self.headers.get("Content-Length", 0))
             # never rfile.read(-1): under keep-alive it blocks until the
             # client closes, pinning this handler thread forever

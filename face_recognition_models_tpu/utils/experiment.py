@@ -52,8 +52,20 @@ class ExperimentLogger:
             self._file.write(json.dumps(payload) + "\n")
 
     def save_artifact(self, path: str):
+        """Upload a checkpoint artifact (the reference's end-of-training
+        wandb.save, model_utils.py:581-582). W&B: register `path` (a glob
+        works for orbax dirs); JSONL fallback: record the path so offline
+        runs still point at their artifacts."""
         if self._wandb is not None:
-            self._wandb.save(path)
+            # orbax checkpoints are directories; wandb.save wants files
+            pattern = (os.path.join(path, "**") if os.path.isdir(path)
+                       else path)
+            self._wandb.save(pattern, base_path=os.path.dirname(
+                os.path.abspath(path)))
+        elif self._file is not None:
+            self._file.write(json.dumps(
+                {"event": "artifact", "path": os.path.abspath(path),
+                 "time": time.time()}) + "\n")
 
     def finish(self):
         if self._wandb is not None:

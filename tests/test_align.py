@@ -206,3 +206,26 @@ class TestExtractAligned:
             build_detector)
         with pytest.raises(ValueError, match="align_mode"):
             build_detector(112, align_mode="bogus")
+
+
+class TestDegenerateLandmarks:
+    def test_umeyama_coincident_points_raise(self):
+        from face_recognition_models_tpu.detection.align import (
+            DegenerateLandmarksError)
+        src = np.full((5, 2), 17.0)
+        with pytest.raises(DegenerateLandmarksError):
+            umeyama(src, template_for(112))
+
+    def test_extract_aligned_degenerate_detection_returns_none(self):
+        """A junk detection with collapsed landmarks is 'no usable face',
+        not a NaN-filled warp or a crash."""
+        from face_recognition_models_tpu.detection.align import (
+            extract_aligned)
+
+        class FakeDet:
+            def detect(self, img):
+                return (np.asarray([[0, 0, 10, 10]]), np.asarray([0.99]),
+                        np.full((1, 5, 2), 5.0))
+
+        img = np.zeros((64, 64, 3), np.uint8)
+        assert extract_aligned(FakeDet(), img, 112) is None

@@ -118,3 +118,50 @@ def test_min_loss_resume_without_best_preserves_epochs(tmp_path):
     assert restored is None and start_epoch == 1 and loss == float("inf")
     leftover = [n for n in os.listdir(tmp_path) if n.startswith("epoch_")]
     assert leftover == ["epoch_2"]
+
+
+def test_failed_async_save_keeps_rotation_victims(tmp_path):
+    """Rotation is deferred behind the async save: if the background write
+    fails, the would-be victim epoch must still be on disk and the error
+    must name the failed save (manager.py _drain)."""
+    mgr = CheckpointManager(str(tmp_path), "arc", keep=2, async_save=True)
+    state = _state()
+    for epoch in (1, 2, 3):
+        mgr.save(state, epoch=epoch, train_loss=1.0)
+    # epoch_3 is in flight; its rotation victim (epoch_1) is pending.
+    assert os.path.isdir(tmp_path / "epoch_1")
+    real_wait = mgr._ckptr.wait_until_finished
+    real_wait()  # let the true write land before faking the failure
+
+    calls = {"n": 0}
+
+    def failing_wait():
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise OSError("disk full")
+        return real_wait()
+
+    mgr._ckptr.wait_until_finished = failing_wait
+    with pytest.raises(RuntimeError, match="epoch_3"):
+        mgr.save(state, epoch=4, train_loss=1.0)
+    # the failure surfaced BEFORE any deletion: epoch_1 survives
+    assert os.path.isdir(tmp_path / "epoch_1")
+    # and the manager stays usable afterwards
+    mgr.save(state, epoch=4, train_loss=1.0)
+    mgr.wait_until_finished()
+    epochs = sorted(n for n in os.listdir(tmp_path)
+                    if n.startswith("epoch_"))
+    assert "epoch_4" in epochs and len(epochs) == 2
+
+
+def test_async_rotation_applies_after_drain(tmp_path):
+    """Happy path of deferred rotation: victims disappear once the next
+    drain confirms the save landed, leaving exactly `keep` epochs."""
+    mgr = CheckpointManager(str(tmp_path), "arc", keep=2, async_save=True)
+    state = _state()
+    for epoch in (1, 2, 3, 4):
+        mgr.save(state, epoch=epoch, train_loss=1.0)
+    mgr.wait_until_finished()
+    epochs = sorted(n for n in os.listdir(tmp_path)
+                    if n.startswith("epoch_"))
+    assert epochs == ["epoch_3", "epoch_4"]

@@ -200,3 +200,24 @@ def test_loader_sharding_partitions_epoch(tmp_path):
     assert counts == [n // 3] * 3  # uniform; tail (n % 3) dropped
     with pytest.raises(ValueError, match="bad shard"):
         Loader(index, batch_size=4, image_size=8, shard=(3, 3))
+
+
+def test_loader_all_corrupt_raises(tree, tmp_path):
+    """When resampling cannot find ANY decodable image the loader must
+    fail loudly instead of silently training labels on black images."""
+    import shutil
+
+    from face_recognition_models_tpu.data.pipeline import Loader
+
+    root = tmp_path / "allbad"
+    shutil.copytree(tree, root)
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            with open(os.path.join(dirpath, f), "wb") as fh:
+                fh.write(b"corrupt")
+    loader = Loader(ImageFolderIndex.build(str(root), split="train"),
+                    batch_size=4, image_size=16, backend="pil",
+                    num_workers=2)
+    with pytest.raises(RuntimeError, match="corrupt"):
+        for _ in loader.epoch(0):
+            pass

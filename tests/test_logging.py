@@ -53,3 +53,23 @@ def test_tee_with_real_stdout_logfile(tmp_path):
         with contextlib.redirect_stdout(tee):
             print("step 1")
     assert path.read_text() == "step 1\n"
+
+
+def test_experiment_logger_artifact_jsonl(tmp_path):
+    """save_artifact must leave a trace in the offline JSONL fallback
+    (the reference uploads checkpoints via wandb.save,
+    model_utils.py:581-582)."""
+    import json
+
+    from face_recognition_models_tpu.utils import ExperimentLogger
+
+    logger = ExperimentLogger("proj", "run1", log_dir=str(tmp_path),
+                              use_wandb=False)
+    art = tmp_path / "ckpt"
+    art.mkdir()
+    logger.save_artifact(str(art))
+    logger.finish()
+    lines = [json.loads(x) for x in
+             (tmp_path / "run1.metrics.jsonl").read_text().splitlines()]
+    events = [x for x in lines if x.get("event") == "artifact"]
+    assert len(events) == 1 and events[0]["path"] == str(art)

@@ -322,3 +322,35 @@ def test_detect_without_detector_409_and_no_aligned_key(served):
     out = _post(url + "/embed", _jpeg_bytes(np.zeros((IMG, IMG, 3),
                                                      np.uint8)))
     assert "aligned" not in out  # pre-aligned mode: no alignment claim
+
+
+def test_chunked_transfer_encoding_rejected_explicitly(served):
+    """A chunked POST must get a clear 411 (we never read chunked bodies),
+    not a misleading Content-Length complaint."""
+    import socket
+    url, _, _ = served
+    host, port = url.replace("http://", "").split(":")
+    with socket.create_connection((host, int(port)), timeout=30) as s:
+        s.sendall(b"POST /embed HTTP/1.1\r\n"
+                  b"Host: test\r\n"
+                  b"Transfer-Encoding: chunked\r\n\r\n"
+                  b"4\r\nabcd\r\n0\r\n\r\n")
+        resp = b""
+        while b"\r\n\r\n" not in resp:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            resp += chunk
+        # drain whatever body arrived with/after the headers
+        try:
+            s.settimeout(2.0)
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                resp += chunk
+        except socket.timeout:
+            pass
+    text = resp.decode("utf-8", "replace")
+    assert " 411 " in text.splitlines()[0]
+    assert "chunked" in text
