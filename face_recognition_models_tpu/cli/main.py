@@ -154,6 +154,10 @@ def _add_train_parser(sub):
                         "backbone as <model>_best_acc")
     p.add_argument("--eval-data-path", default="",
                    help="benchmark root for --eval-after / --eval-every")
+    p.add_argument("--eval-flip", action="store_true",
+                   help="flip-sum TTA for --eval-after/--eval-every "
+                        "embeddings (insightface published-number "
+                        "convention)")
     p.add_argument("--benchmarks", default=",".join(cfg_lib.EVAL_BENCHMARKS))
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--num-workers", type=int, default=8)
@@ -335,7 +339,7 @@ def cmd_train(args) -> int:
                     every=args.eval_every, image_size=cfg.data.image_size,
                     total_epochs=cfg.epochs, logger=logger,
                     checkpoint_manager=mgr, model_name=model_name,
-                    use_ema=cfg.model_ema > 0.0)
+                    use_ema=cfg.model_ema > 0.0, flip=args.eval_flip)
         t0 = time.time()
         result = fit(cfg, loader, logger=logger, checkpoint_manager=mgr,
                      head_cfg=head_cfg, hooks=eval_hook)
@@ -386,7 +390,8 @@ def cmd_train(args) -> int:
                     try:
                         res = evaluate_model_on_benchmark(
                             embed, args.eval_data_path, bench,
-                            cfg.data.image_size, verbose=False)
+                            cfg.data.image_size, verbose=False,
+                            flip=args.eval_flip)
                         print(f"[eval-after] {model_name} on {bench}: {res}")
                     except FileNotFoundError as e:
                         print(f"[eval-after] skip {bench}: {e}")
@@ -417,12 +422,18 @@ def _add_eval_parser(sub):
     p.add_argument("--standard-protocol", action="store_true",
                    help="use the CLASSIC LFW protocol (sequential folds, "
                         "accuracy-max grid threshold tuned on 9 folds, "
-                        "tested on 1 — insightface semantics, comparable "
-                        "to published numbers) instead of the reference's "
-                        "inverted protocol")
+                        "tested on 1 — insightface semantics) instead of "
+                        "the reference's inverted protocol; add "
+                        "--eval-flip to match published insightface "
+                        "numbers exactly (they also flip-sum embeddings)")
     p.add_argument("--device-protocol", action="store_true",
                    help="run the 10-fold protocol fully vectorized on "
                         "device instead of the sklearn host path")
+    p.add_argument("--eval-flip", action="store_true",
+                   help="flip-sum TTA: sum each image's and its horizontal "
+                        "flip's raw embeddings before normalizing (the "
+                        "insightface/facenet published-number convention; "
+                        "2x embedding cost)")
     p.add_argument("--tpr-far", default="",
                    help="comma-separated FAR operating points (e.g. "
                         "'1e-2,1e-3') to additionally report TPR@FAR per "
@@ -447,6 +458,7 @@ def cmd_eval(args) -> int:
         protocol=("standard" if args.standard_protocol
                   else "device" if args.device_protocol else "host"),
         fars=tuple(float(f) for f in args.tpr_far.split(",") if f),
+        flip=args.eval_flip,
     )
 
 

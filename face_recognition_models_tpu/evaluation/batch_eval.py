@@ -112,7 +112,8 @@ def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
                                 batch_size: int = 256,
                                 verbose: bool = True,
                                 protocol: str = "host",
-                                fars: Sequence[float] = ()):
+                                fars: Sequence[float] = (),
+                                flip: bool = False):
     """Returns VerificationResult, or (VerificationResult, {far: tpr})
     when `fars` is non-empty (TPR@FAR over the full pair list —
     evaluation/openset.py; beyond the reference's accuracy/AUC).
@@ -121,10 +122,11 @@ def evaluate_model_on_benchmark(embed_fn, eval_root: str, benchmark: str,
     1 fold, test on 9) on the host; 'device' = the same, fully on-chip;
     'standard' = the classic LFW/insightface protocol (sequential folds,
     accuracy-maximizing grid threshold tuned on 9, tested on 1) for
-    comparing with published numbers."""
+    comparing with published numbers. Pair 'standard' with flip=True to
+    match the published convention exactly (flip-sum embeddings)."""
     pairs, stack, id_to_row = load_benchmark(eval_root, benchmark,
                                              image_size)
-    emb = embed_unique_images(embed_fn, stack, batch_size)
+    emb = embed_unique_images(embed_fn, stack, batch_size, flip=flip)
     sims = pair_cosine_similarities(emb, pairs, id_to_row)
     if protocol == "device":
         from face_recognition_models_tpu.evaluation.device_protocol import (
@@ -158,7 +160,8 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
                          image_size: int = 112,
                          which: str = "final",
                          protocol: str = "host",
-                         fars: Sequence[float] = ()) -> int:
+                         fars: Sequence[float] = (),
+                         flip: bool = False) -> int:
     """which: 'final' evaluates the end-of-training snapshot; 'min_loss'
     evaluates the best-by-train-loss checkpoint (the reference's
     evaluate_models.py loads <Name>_min_loss.pth)."""
@@ -216,7 +219,7 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
             try:
                 res = evaluate_model_on_benchmark(
                     embed_fn, eval_data_path, bench, image_size, batch_size,
-                    protocol=protocol, fars=fars)
+                    protocol=protocol, fars=fars, flip=flip)
             except FileNotFoundError as e:
                 print(f"[skip] {name} on {bench}: {e}")
                 continue

@@ -51,7 +51,7 @@ class PeriodicEvalHook:
                  total_epochs: Optional[int] = None,
                  logger=None, checkpoint_manager=None,
                  model_name: str = "model", use_ema: bool = False,
-                 verbose: bool = True):
+                 verbose: bool = True, flip: bool = False):
         import jax
 
         from face_recognition_models_tpu.evaluation.batch_eval import (
@@ -68,6 +68,7 @@ class PeriodicEvalHook:
         self.model_name = model_name
         self.use_ema = use_ema
         self.verbose = verbose
+        self.flip = flip  # insightface flip-sum TTA (--eval-flip)
         self.batch_size = int(batch_size)
         self._jit_step = jax.jit(make_eval_step(backbone))
 
@@ -112,7 +113,8 @@ class PeriodicEvalHook:
         results = {}
         logged = {}
         for bench, (pairs, stack, id_to_row) in self._data.items():
-            emb = embed_unique_images(embed_fn, stack, self.batch_size)
+            emb = embed_unique_images(embed_fn, stack, self.batch_size,
+                                      flip=self.flip)
             sims = pair_cosine_similarities(emb, pairs, id_to_row)
             res = kfold_verification(sims, pairs[:, 2], verbose=False)
             results[bench] = res

@@ -43,11 +43,17 @@ class VerificationResult:
 
 
 def embed_unique_images(embed_fn: Callable, images: np.ndarray,
-                        batch_size: int = 256) -> np.ndarray:
+                        batch_size: int = 256,
+                        flip: bool = False) -> np.ndarray:
     """Embed uint8 images [N,H,W,3] -> L2-normalized fp32 [N,D].
 
     `embed_fn(float_images) -> raw embeddings` is the jitted eval step; the
     last batch is padded to keep shapes static (one compiled program).
+
+    flip=True applies the insightface/facenet test-time convention: each
+    image's raw embedding is SUMMED with its horizontal flip's before
+    normalization (2x embed cost; same compiled program both passes).
+    Published insightface .bin numbers assume this fusion.
     """
     n = len(images)
     out: List[np.ndarray] = []
@@ -58,6 +64,11 @@ def embed_unique_images(embed_fn: Callable, images: np.ndarray,
             chunk = np.concatenate(
                 [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
         feats = np.asarray(embed_fn(chunk))
+        if flip:
+            # NHWC: axis 2 is width; ascontiguousarray keeps the
+            # host->device transfer a plain memcpy
+            feats = feats + np.asarray(
+                embed_fn(np.ascontiguousarray(chunk[:, :, ::-1])))
         out.append(feats[:len(images[s:s + batch_size])])
     emb = np.concatenate(out).astype(np.float32)
     norms = np.linalg.norm(emb, axis=1, keepdims=True)

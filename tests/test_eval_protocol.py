@@ -209,3 +209,49 @@ def test_standard_protocol_cli_dispatch(tmp_path):
     with pytest.raises(ValueError, match="unknown protocol"):
         evaluate_model_on_benchmark(embed, str(tmp_path), "lfw",
                                     image_size=16, protocol="bogus")
+
+
+# --- flip-sum TTA (--eval-flip) ----------------------------------------------
+
+def test_flip_tta_sums_raw_embeddings_before_normalizing():
+    """flip=True must compute normalize(f(x) + f(hflip(x))) — the
+    insightface published-number convention — using the SAME embed_fn
+    (no separate compiled program)."""
+    from face_recognition_models_tpu.evaluation.verification import (
+        embed_unique_images)
+
+    rs = np.random.RandomState(3)
+    proj = rs.randn(12 * 8 * 3, 4).astype(np.float32)
+
+    def embed_fn(images):
+        flat = np.asarray(images, np.float32).reshape(len(images), -1)
+        return flat @ proj  # asymmetric in pixel order: flip changes it
+
+    images = rs.randint(0, 256, (5, 12, 8, 3), np.uint8)
+    got = embed_unique_images(embed_fn, images, batch_size=4, flip=True)
+
+    raw = embed_fn(images) + embed_fn(images[:, :, ::-1])
+    want = raw / np.linalg.norm(raw, axis=1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+    # sanity: differs from the unflipped embedding
+    plain = embed_unique_images(embed_fn, images, batch_size=4)
+    assert np.abs(plain - got).max() > 1e-3
+
+
+def test_flip_tta_embedding_is_mirror_invariant():
+    """sum over {x, hflip(x)} is symmetric: an image and its mirror get
+    identical flip-TTA embeddings."""
+    from face_recognition_models_tpu.evaluation.verification import (
+        embed_unique_images)
+
+    rs = np.random.RandomState(4)
+    proj = rs.randn(8 * 8 * 3, 6).astype(np.float32)
+
+    def embed_fn(images):
+        flat = np.asarray(images, np.float32).reshape(len(images), -1)
+        return flat @ proj
+
+    img = rs.randint(0, 256, (8, 8, 3), np.uint8)
+    both = np.stack([img, img[:, ::-1]])
+    emb = embed_unique_images(embed_fn, both, batch_size=2, flip=True)
+    np.testing.assert_allclose(emb[0], emb[1], rtol=1e-5, atol=1e-6)
