@@ -1,0 +1,165 @@
+"""Fused-path trajectory certification: the production TPU head path (the
+fused Pallas margin+CE kernel, auto-dispatched for 12 of 13 heads at
+production C) must evolve training EXACTLY like the jnp reference path —
+not just one step's loss/grads (test_fused_head.py) but the N-step
+composition: head-state feedback (EMA buffers, memory lifecycles,
+annealing counters), BN statistics, SGD momentum, and the PRNG stream.
+
+This is the fused-vs-jnp counterpart of the jnp-vs-torch discipline in
+test_trajectory_parity.py: every FUSED_HEADS entry runs 12 train steps
+through BOTH make_train_step(use_fused_head=True) (Pallas in interpret
+mode on CPU) and use_fused_head=False (XLA jnp), from identical initial
+state on identical batches, asserting the loss trajectory, the head-state
+trajectory (exact for integer leaves: sphereface's iter, vpl/qaface's
+life), and the final parameters agree to fp32 tolerance.
+
+Both step builders split state.rng identically, so the elastic heads'
+sampled margins coincide by construction and any divergence is kernel
+math, not randomness.
+
+Reference state being certified: criterion.py:517 (curricular t EMA),
+:661-662 (AdaFace batch_mean/std), :702-726 / :1376-1481 (VPL/QAFace
+mem/life lifecycle), :58-60 (SphereFace iter annealing clock).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from face_recognition_models_tpu import config as cfg_lib
+from face_recognition_models_tpu.heads import get_head
+from face_recognition_models_tpu.heads.fused_adapter import FUSED_HEADS
+
+N, D, C = 16, 32, 128   # C = 2 class tiles at block_c=64
+IMAGE = 16
+STEPS = 12
+# memory heads: delta=3 forces activation AND expiry inside 12 steps
+_OVERRIDES = {"vpl_arcface": dict(delta=3), "qaface": dict(delta=3)}
+# keep two representative heads in the fast suite (one stateless + the
+# stateful-EMA one); the rest are slow-marked
+_FAST = ("arcface", "curricularface")
+
+
+@pytest.fixture()
+def interpret_fused(monkeypatch):
+    """Run the fused kernel in Pallas interpret mode with tiny tiles so
+    the EXACT production code path executes on the CPU test mesh."""
+    import face_recognition_models_tpu.heads.fused_adapter as fa
+
+    orig = fa.fused_apply
+
+    def fused_interp(*args, **kw):
+        kw.setdefault("interpret", True)
+        kw.setdefault("block_n", 16)
+        kw.setdefault("block_c", 64)
+        return orig(*args, **kw)
+
+    # patch both the module attr and the symbol train.step imported
+    monkeypatch.setattr(fa, "fused_apply", fused_interp)
+    return fused_interp
+
+
+def _build(head_name, use_fused):
+    from face_recognition_models_tpu.models.resnet import BasicBlock, ResNet
+    from face_recognition_models_tpu.train import (
+        TrainState,
+        get_optimizer,
+        make_train_step,
+    )
+
+    cfg = cfg_lib.make_head_config(head_name, feature_dim=D, num_classes=C,
+                                   **_OVERRIDES.get(head_name, {}))
+    head = get_head(head_name)
+    backbone = ResNet(stage_sizes=(1, 1), block=BasicBlock, embed_dim=D,
+                      num_filters=8, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(42)
+    variables = backbone.init(rng, jnp.zeros((1, IMAGE, IMAGE, 3)),
+                              train=False)
+    kernel = head.init_kernel(rng, cfg)
+    params = {"backbone": variables["params"], "kernel_w": kernel}
+    tx = get_optimizer("sgd", 0.05, momentum=0.9, weight_decay=5e-4)
+    state = TrainState(step=jnp.int32(0),
+                       params=jax.tree.map(jnp.copy, params),
+                       batch_stats=variables.get("batch_stats", {}),
+                       head_state=head.init_state(cfg),
+                       opt_state=tx.init(params),
+                       rng=jax.random.PRNGKey(7))
+    step = make_train_step(backbone, head, cfg, tx,
+                           use_fused_head=use_fused)
+    return state, step
+
+
+def _batches(seed, steps):
+    rs = np.random.RandomState(seed)
+    out = []
+    for _ in range(steps):
+        out.append((rs.randint(0, 256, (N, IMAGE, IMAGE, 3), np.uint8),
+                    rs.randint(0, C, N).astype(np.int32)))
+    return out
+
+
+def _assert_state_close(fused_hs, jnp_hs, head_name, step):
+    leaves_f, treedef_f = jax.tree.flatten(fused_hs)
+    leaves_j, treedef_j = jax.tree.flatten(jnp_hs)
+    assert treedef_f == treedef_j, f"{head_name}: head-state structure"
+    for lf, lj in zip(leaves_f, leaves_j):
+        a, b = np.asarray(lf), np.asarray(lj)
+        if np.issubdtype(a.dtype, np.integer) or a.dtype == np.bool_:
+            # lifecycle/annealing counters are exact integers: any
+            # disagreement means a class activated/expired differently
+            np.testing.assert_array_equal(
+                a, b, err_msg=f"{head_name} step {step}: integer state")
+        else:
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-6,
+                err_msg=f"{head_name} step {step}: float state")
+
+
+def _run_trajectory(head_name):
+    state_f, step_f = _build(head_name, use_fused=True)
+    state_j, step_j = _build(head_name, use_fused=False)
+    for k, (images, labels) in enumerate(_batches(3, STEPS)):
+        state_f, mf = step_f(state_f, jnp.asarray(images),
+                             jnp.asarray(labels))
+        state_j, mj = step_j(state_j, jnp.asarray(images),
+                             jnp.asarray(labels))
+        lf, lj = float(mf["loss"]), float(mj["loss"])
+        assert abs(lf - lj) <= 1e-4 * max(1.0, abs(lj)), \
+            f"{head_name} step {k}: fused loss {lf:.6f} vs jnp {lj:.6f}"
+        # top-k ties can break differently between the kernel's row-gather
+        # target cosine and the jnp matmul row (metrics only)
+        assert abs(float(mf["acc1"]) - float(mj["acc1"])) <= 100.0 / N + 1e-6
+        np.testing.assert_allclose(float(mf["feat_norm"]),
+                                   float(mj["feat_norm"]),
+                                   rtol=1e-4, atol=1e-5)
+        _assert_state_close(state_f.head_state, state_j.head_state,
+                            head_name, k)
+    # after 12 steps of compounding updates the weights are the same model
+    for a, b in zip(jax.tree.leaves(state_f.params),
+                    jax.tree.leaves(state_j.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5,
+                                   err_msg=f"{head_name}: final params")
+    return state_f, state_j
+
+
+@pytest.mark.parametrize("head_name",
+                         [h for h in FUSED_HEADS if h in _FAST])
+def test_fused_trajectory_matches_jnp(head_name, interpret_fused):
+    _run_trajectory(head_name)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("head_name",
+                         [h for h in FUSED_HEADS if h not in _FAST])
+def test_fused_trajectory_matches_jnp_slow(head_name, interpret_fused):
+    state_f, state_j = _run_trajectory(head_name)
+    if head_name in ("vpl_arcface", "qaface"):
+        # the 12-step run must actually have exercised the lifecycle:
+        # some classes active, some expired (delta=3 < STEPS)
+        life = np.asarray(state_f.head_state.life)
+        assert (life > 0).any(), "no memory rows active"
+        assert (life <= 0).any(), "no memory rows expired"
