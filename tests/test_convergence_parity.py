@@ -1,0 +1,322 @@
+"""End-to-end convergence parity vs the torch reference stack.
+
+The top rung of the parity ladder (below it: forward parity per head in
+test_reference_parity.py, 12-step training-trajectory parity in
+test_trajectory_parity.py, fused-vs-jnp trajectory parity in
+test_fused_trajectory.py). This test trains BOTH stacks TO COMPLETION on
+the identical tiny synthetic identity dataset — same initial weights
+(ported via utils/torch_port), same batch order (the ArrayLoader epoch
+permutation replayed on the torch side), same normalization, the
+reference's exact recipe (SGD momentum 0.9, wd 5e-4 on ALL params,
+CustomStepLR drops; model_utils.py:556-559, 569-578) — then evaluates both
+final models under the IDENTICAL 10-fold Youden verification protocol
+(model_utils.py:416-474) on the same held-out pairs, and asserts the final
+accuracies agree within tolerance.
+
+Torch side: the reference's own ArcFace head + CustomStepLR
+(/root/reference criterion.py, schedulers.py) with the
+torchvision-compatible ResNet-18 replica from test_pretrained_port; the
+train loop replicates the reference recipe step for step. JAX side: the
+REAL production path end to end — `loop.fit` over an ArrayLoader (the same
+code path `face train` drives), then `batch_eval.make_embed_fn` +
+`embed_unique_images` + `kfold_verification`.
+
+What this certifies that trajectory parity cannot: the COMPOSITION over a
+full schedule — BN momentum integrated over ~100 steps, LR drops at the
+CustomStepLR boundaries, epoch/reshuffle semantics, and the final
+evaluation protocol — lands both stacks at the same verification accuracy,
+i.e. a reference user switching frameworks gets the same model quality.
+
+Scale is bounded by the 1-core CPU sandbox: 32px, C=64, ResNet-18, b128,
+12 epochs (96 steps/stack, ~1 min torch + ~1 min jax). Measured parity at
+this scale (seed 0): torch 99.8% vs jax 99.8% held-out verification
+(fold-stds ~1%); tolerance set at 2.5% — generous against the recipe's
+fp-chaos (trajectories diverge pointwise after ~20 steps; both stacks must
+still CONVERGE to the same quality) yet far below the ~50% chance floor
+and the >40-point gap a real recipe bug (wd-on-BN, LR timing, BN-mode)
+produces at this scale.
+
+Runnable standalone for the PERF.md numbers:
+    python tests/test_convergence_parity.py [--seed N] [--epochs N]
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_pretrained_port import _BasicBlock, _TorchResNet  # noqa: E402
+
+REF_PATH = "/root/reference/main_code"
+
+# tiny-but-complete run: full ResNet-18 graph, real schedule with two drops
+C, D, IMAGE = 64, 128, 32
+TPC, EPC = 16, 4                       # train / held-out copies per identity
+BATCH = 128
+EPOCHS, LR, LR_STEPS, RATIO = 12, 0.1, (8, 10), 0.1
+NOISE = 35.0
+PAIRS_PER_KIND = 500
+MEAN = STD = (0.5, 0.5, 0.5)           # config.py DataConfig defaults
+
+
+def _load_reference():
+    """Import the reference criterion/schedulers with torchvision stubbed
+    (same mechanism as test_trajectory_parity)."""
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        for name in ("resnet50", "resnet18", "ResNet18_Weights",
+                     "ResNet50_Weights", "efficientnet_b0",
+                     "EfficientNet_B0_Weights", "mobilenet_v2",
+                     "MobileNet_V2_Weights"):
+            setattr(tvm, name, None)
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    if REF_PATH not in sys.path:
+        sys.path.insert(0, REF_PATH)
+    import utils.criterion as crit
+    import utils.schedulers as sched
+    return types.SimpleNamespace(crit=crit, sched=sched)
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return _load_reference()
+
+
+def _split(seed):
+    """Class-major split: first TPC copies of each identity train, the
+    remaining EPC are held out for verification (scripts/convergence_run.py
+    protocol)."""
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities)
+
+    per = TPC + EPC
+    images, labels = synthetic_identities(C, per, image_size=IMAGE,
+                                          seed=seed, noise=NOISE)
+    images = images.reshape(C, per, *images.shape[1:])
+    train_x = images[:, :TPC].reshape(-1, *images.shape[2:])
+    train_y = np.repeat(np.arange(C, dtype=np.int32), TPC)
+    held_x = images[:, TPC:].reshape(-1, *images.shape[2:])
+    held_y = np.repeat(np.arange(C, dtype=np.int32), EPC)
+    return train_x, train_y, held_x, held_y
+
+
+def _heldout_pairs(held_y, seed):
+    rs = np.random.RandomState(seed + 1)
+    n = len(held_y)
+    pos, neg = [], []
+    while len(pos) < PAIRS_PER_KIND:
+        c = rs.randint(C)
+        i, j = rs.choice(EPC, 2, replace=False)
+        pos.append((c * EPC + i, c * EPC + j, 1))
+    while len(neg) < PAIRS_PER_KIND:
+        a, b = rs.randint(n), rs.randint(n)
+        if held_y[a] != held_y[b]:
+            neg.append((a, b, 0))
+    return np.asarray(pos + neg, np.int64)
+
+
+def _normalize_torch(images_u8):
+    """The exact uint8 -> float transform the train step applies
+    (ops/image_ops.normalize_images with the DataConfig defaults), NCHW."""
+    scale = 1.0 / (255.0 * STD[0])
+    bias = -MEAN[0] / STD[0]
+    x = torch.from_numpy(images_u8.transpose(0, 3, 1, 2).copy()).float()
+    return x * scale + bias
+
+
+def _train_torch(ref, tmodel, kernel, train_x, train_y, seed, epochs):
+    """The reference recipe to completion, replaying the EXACT batch order
+    ArrayLoader(seed=seed) feeds the jax side (data/pipeline.py:251-258:
+    np.random.RandomState(seed+epoch) permutation, drop_remainder)."""
+    head = ref.crit.ArcFace(D, C, device_id=None, s=64.0, m=0.5,
+                            easy_margin=False)
+    head.weight.data = torch.from_numpy(np.asarray(kernel).T.copy())
+
+    class _Net(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone, self.head = tmodel, head
+
+        def forward(self, x, labels):
+            return self.head(self.backbone(x), labels)
+
+    net = _Net().train()
+    criterion = torch.nn.CrossEntropyLoss()
+    opt = torch.optim.SGD(net.parameters(), lr=LR, momentum=0.9,
+                          weight_decay=5e-4)
+    scheduler = ref.sched.CustomStepLR(opt, steps=LR_STEPS, ratio=RATIO)
+    n, bs = len(train_x), BATCH
+    for epoch in range(epochs):
+        order = np.arange(n)
+        np.random.RandomState(seed + epoch).shuffle(order)
+        for s in range(n // bs):
+            idx = order[s * bs:(s + 1) * bs]
+            x = _normalize_torch(train_x[idx])
+            t = torch.from_numpy(train_y[idx].astype(np.int64))
+            (pre, post), norms, loss_g, _ = net(x, t)
+            loss = criterion(post, t)
+            opt.zero_grad()
+            loss.backward()
+            opt.step()
+        scheduler.step()
+    return net
+
+
+def _embed_torch(net, images_u8):
+    """Held-out embeddings from the torch model: eval-mode BN, the same
+    normalization, L2-normalized fp32 — the torch twin of
+    embed_unique_images(make_embed_fn(...))."""
+    net.eval()
+    out = []
+    with torch.no_grad():
+        for s in range(0, len(images_u8), BATCH):
+            x = _normalize_torch(images_u8[s:s + BATCH])
+            out.append(net.backbone(x).float().numpy())
+    emb = np.concatenate(out)
+    return emb / np.linalg.norm(emb, axis=1, keepdims=True)
+
+
+def _train_and_eval_jax(tmodel, train_x, train_y, held_x, seed, epochs):
+    """The production path end to end: loop.fit over an ArrayLoader from
+    torch-ported initial weights, then the batch_eval embedding path.
+    Returns (L2-normalized held-out embeddings, initial head kernel) — the
+    kernel is handed to the torch side so both stacks start identical."""
+    from face_recognition_models_tpu import config as cfg_lib
+    from face_recognition_models_tpu.data.pipeline import ArrayLoader
+    from face_recognition_models_tpu.evaluation.batch_eval import (
+        make_embed_fn)
+    from face_recognition_models_tpu.evaluation.verification import (
+        embed_unique_images)
+    from face_recognition_models_tpu.heads import get_head
+    from face_recognition_models_tpu.train.loop import fit
+    from face_recognition_models_tpu.utils.torch_port import (
+        port_torchvision_resnet)
+
+    cfg = cfg_lib.TrainConfig(
+        backbone="resnet18", head="arcface", num_classes=C,
+        batch_size=BATCH, epochs=epochs, compute_dtype="float32",
+        seed=seed, print_freq=1000,
+        optimizer=cfg_lib.OptimizerConfig(name="sgd", learning_rate=LR,
+                                          momentum=0.9, weight_decay=5e-4),
+        schedule=cfg_lib.ScheduleConfig(name="customstep", steps=LR_STEPS,
+                                        ratio=RATIO, warmup_epochs=0),
+        data=cfg_lib.DataConfig(image_size=IMAGE))
+    head_cfg = cfg_lib.make_head_config("arcface", feature_dim=D,
+                                        num_classes=C)
+
+    # the kernel init fit will draw internally (create_train_state:44-46 is
+    # deterministic in cfg.seed) — reproduced here so the torch head can
+    # start from the identical weights
+    _, k_kernel, _ = jax.random.split(jax.random.PRNGKey(cfg.seed), 3)
+    kernel = get_head("arcface").init_kernel(k_kernel, head_cfg)
+
+    # port the torch model's initial backbone weights + BN stats
+    from face_recognition_models_tpu.models import get_backbone
+    template_model = get_backbone("resnet18", embed_dim=D,
+                                  dtype=jnp.float32)
+    template = template_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, IMAGE, IMAGE, 3)), train=False)
+    ported, stats = port_torchvision_resnet(
+        tmodel.state_dict(),
+        {"params": template["params"],
+         "batch_stats": template.get("batch_stats", {})},
+        (2, 2, 2, 2), port_fc=True)
+    warm = (ported, stats)
+
+    loader = ArrayLoader(train_x, train_y, batch_size=BATCH, seed=seed)
+    # bf16-default matmuls would drown the comparison (CLAUDE.md): fp32
+    # single-pass precision for both training and the eval embeddings
+    with jax.default_matmul_precision("float32"):
+        result = fit(cfg, loader, use_mesh=False, warm_start=warm,
+                     head_cfg=head_cfg)
+        embed = make_embed_fn(result.backbone,
+                              result.state.params["backbone"],
+                              result.state.batch_stats)
+        emb = embed_unique_images(embed, held_x, batch_size=BATCH)
+    return emb, kernel
+
+
+def run_parity(seed=0, epochs=EPOCHS):
+    """Train both stacks to completion and evaluate under the identical
+    protocol. Returns (jax VerificationResult, torch VerificationResult)."""
+    from face_recognition_models_tpu.evaluation.verification import (
+        kfold_verification)
+
+    ref_mod = _load_reference()
+    train_x, train_y, held_x, held_y = _split(seed)
+    pairs = _heldout_pairs(held_y, seed)
+
+    torch.manual_seed(seed)
+    tmodel = _TorchResNet(_BasicBlock, (2, 2, 2, 2), embed_dim=D)
+
+    jemb, kernel = _train_and_eval_jax(tmodel, train_x, train_y, held_x,
+                                       seed, epochs)
+    tnet = _train_torch(ref_mod, tmodel, kernel, train_x, train_y, seed,
+                        epochs)
+    temb = _embed_torch(tnet, held_x)
+
+    jsims = np.sum(jemb[pairs[:, 0]] * jemb[pairs[:, 1]], axis=1)
+    tsims = np.sum(temb[pairs[:, 0]] * temb[pairs[:, 1]], axis=1)
+    return (kfold_verification(jsims, pairs[:, 2]),
+            kfold_verification(tsims, pairs[:, 2]))
+
+
+@pytest.mark.slow
+def test_end_to_end_convergence_matches_reference():
+    """Both stacks, trained to completion from identical weights on
+    identical data, must reach the same held-out verification accuracy."""
+    jres, tres = run_parity(seed=0)
+
+    # parity is only meaningful if training WORKED in both stacks: at
+    # chance (~50%) equal accuracies would certify nothing
+    # (mean_accuracy is in PERCENT, like the reference's protocol output)
+    assert tres.mean_accuracy > 90.0, \
+        f"torch reference failed to converge ({tres.mean_accuracy:.3f}) — " \
+        "the protocol is broken, not the parity"
+    assert jres.mean_accuracy > 90.0, \
+        f"jax stack failed to converge ({jres.mean_accuracy:.3f})"
+
+    diff = abs(jres.mean_accuracy - tres.mean_accuracy)
+    assert diff <= 2.5, \
+        f"final verification diverged: jax {jres.mean_accuracy:.4f} " \
+        f"(±{jres.std_accuracy:.4f}) vs torch {tres.mean_accuracy:.4f} " \
+        f"(±{tres.std_accuracy:.4f})"
+    assert abs(jres.mean_auc - tres.mean_auc) <= 0.02
+
+
+if __name__ == "__main__":
+    import argparse
+    import json
+
+    # standalone runs must not grab the (possibly busy) TPU tunnel; pytest
+    # runs get this from conftest.py
+    jax.config.update("jax_platforms", "cpu")
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--epochs", type=int, default=EPOCHS)
+    args = ap.parse_args()
+
+    jres, tres = run_parity(seed=args.seed, epochs=args.epochs)
+    print(json.dumps({
+        "metric": "convergence_parity", "seed": args.seed,
+        "epochs": args.epochs, "classes": C, "image_size": IMAGE,
+        "jax_accuracy": round(jres.mean_accuracy, 4),
+        "jax_std": round(jres.std_accuracy, 4),
+        "jax_auc": round(jres.mean_auc, 5),
+        "torch_accuracy": round(tres.mean_accuracy, 4),
+        "torch_std": round(tres.std_accuracy, 4),
+        "torch_auc": round(tres.mean_auc, 5),
+        "abs_diff": round(abs(jres.mean_accuracy - tres.mean_accuracy), 4),
+    }))
