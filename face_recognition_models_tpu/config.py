@@ -178,6 +178,14 @@ class QAFaceConfig(HeadConfig):
     train loop passes labels into the `minput` slot, criterion.py:1543-1552);
     here the head takes an explicit (feats, minput_feats, labels) triple and
     the training pipeline provides a degraded view as minput.
+
+    Schedule note (PERF.md "QAFace root cause"): the non-target
+    memory-replacement contrast (criterion.py:1471-1476) targets LONG
+    real-data schedules; on short runs it stalls verification (measured
+    66.6% vs 99.3% arcface on the 15-epoch synthetic protocol, and 3x the
+    epochs adds 1.3 points). For short runs use `--head-arg delta=1`
+    (memory never activates, quality injection kept; 92.5%) or
+    `--head-arg tto=0 --head-arg delta=1` (reduces to arcface; 99.3%).
     """
 
     name: str = "qaface"

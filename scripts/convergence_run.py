@@ -130,6 +130,11 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
         schedule=cfg_lib.ScheduleConfig(
             name=args.scheduler, warmup_epochs=args.warmup_epochs),
         data=cfg_lib.DataConfig(image_size=args.image_size))
+    head_cfg = None
+    if getattr(args, "head_arg", None):
+        head_kw = cfg_lib.parse_head_overrides(args.head, args.head_arg)
+        head_cfg = cfg_lib.make_head_config(args.head, num_classes=classes,
+                                            **head_kw)
     loader = ArrayLoader(train_x, train_y, batch_size=args.batch, seed=seed)
     hook = None
     if getattr(args, "eval_every", 0) > 0:
@@ -151,7 +156,7 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
             verbose=True)
     t0 = time.time()
     result = fit(cfg, loader, use_mesh=False, warm_start=warm_start,
-                 hooks=hook)
+                 hooks=hook, head_cfg=head_cfg)
     train_s = time.time() - t0
 
     res = verify(result, held_x, held_y, classes, args.eval_per_class,
@@ -163,6 +168,8 @@ def run_stage(args, classes, epochs, lr, seed, warm_start=None,
         "lr": lr, "optimizer": args.optimizer,
         "scheduler": args.scheduler, "partial_fc": args.partial_fc,
         "bn_dtype": args.bn_dtype, "model_ema": args.model_ema,
+        **({"head_args": list(args.head_arg)}
+           if getattr(args, "head_arg", None) else {}),
         "warm_started": warm_start is not None,
         "mean_accuracy": round(res.mean_accuracy, 3),
         "std_accuracy": round(res.std_accuracy, 3),
@@ -205,6 +212,9 @@ def main():
                     "every N epochs via PeriodicEvalHook (the `face train "
                     "--eval-every` machinery); reports the per-epoch curve "
                     "and best-epoch accuracy")
+    ap.add_argument("--head-arg", action="append", default=[],
+                    help="head hyperparameter override key=value "
+                    "(repeatable; same syntax as `face train --head-arg`)")
     ap.add_argument("--print-freq", type=int, default=100)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--seed", type=int, default=0)
