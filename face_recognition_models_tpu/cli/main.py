@@ -406,6 +406,9 @@ def _add_eval_parser(sub):
     p.add_argument("--head", default=None,
                    help="evaluate one model (else all found)")
     p.add_argument("--backbone", default="resnet18")
+    p.add_argument("--embed-dim", type=int, default=512,
+                   help="backbone embedding width (128 for `face facenet` "
+                        "artifacts)")
     p.add_argument("--eval-data-path", required=True,
                    help="dir with <benchmark>/{pair.list,imgs} or "
                         "insightface-format <benchmark>.bin files")
@@ -459,6 +462,7 @@ def cmd_eval(args) -> int:
                   else "device" if args.device_protocol else "host"),
         fars=tuple(float(f) for f in args.tpr_far.split(",") if f),
         flip=args.eval_flip,
+        embed_dim=args.embed_dim,
     )
 
 
@@ -565,7 +569,9 @@ def _add_facenet_parser(sub):
     p = sub.add_parser("facenet", help="FaceNet triplet training "
                                        "(PK sampling + semi-hard mining)")
     p.add_argument("--dataset-path", default="",
-                   help="identity-folder tree root (or --synthetic)")
+                   help="identity-folder tree root, streamed through the "
+                        "PK loader — never materialized in host RAM "
+                        "(or --synthetic)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic-classes", type=int, default=32)
     p.add_argument("--synthetic-per-class", type=int, default=16)
@@ -578,15 +584,30 @@ def _add_facenet_parser(sub):
     p.add_argument("--learning-rate", type=float, default=0.05)
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--working-path", default="train_output",
+                   help="checkpoints land under "
+                        "<working>/checkpoints/<model-name> — the same "
+                        "layout `face train` writes, so `face "
+                        "embed/eval/export --checkpoint-dir` read the "
+                        "result directly")
+    p.add_argument("--model-name", default=None,
+                   help="default facenet_<backbone>")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from the latest epoch checkpoint")
+    p.add_argument("--keep-checkpoints", type=int, default=3)
+    p.add_argument("--use-mesh", action="store_true",
+                   help="DP-shard each PK batch over all devices' 'data' "
+                        "axis (p*k must divide the device count); mining "
+                        "stays global-batch via an embedding all-gather")
     return p
 
 
 def cmd_facenet(args) -> int:
-    import numpy as np
-
     from face_recognition_models_tpu.config import FaceNetConfig
     from face_recognition_models_tpu.triplet import train_facenet
 
+    images = labels = loader = None
     if args.synthetic:
         from face_recognition_models_tpu.data.synthetic import (
             synthetic_identities)
@@ -598,21 +619,36 @@ def cmd_facenet(args) -> int:
             print("error: --dataset-path required (or --synthetic)",
                   file=sys.stderr)
             return 2
-        from face_recognition_models_tpu.data import ImageFolderIndex
-        from face_recognition_models_tpu.data.pipeline import _decode_image
+        from face_recognition_models_tpu.data import (
+            ImageFolderIndex, PKLoader)
         index = ImageFolderIndex.build(args.dataset_path)
-        images = np.stack([
-            _decode_image(p, args.image_size)
-            for p in index.absolute_paths()])
-        labels = np.asarray(index.labels(), np.int32)
+        loader = PKLoader(index, args.p, args.k,
+                          image_size=args.image_size, seed=args.seed,
+                          num_workers=args.num_workers)
+
+    mesh = None
+    if args.use_mesh:
+        import jax
+
+        from face_recognition_models_tpu.parallel import make_mesh
+        mesh = make_mesh(cfg_lib.MeshConfig(data=jax.device_count(),
+                                            model=1))
 
     cfg = FaceNetConfig(backbone=args.backbone, embed_dim=args.embed_dim,
                         p=args.p, k=args.k, margin=args.margin,
                         learning_rate=args.learning_rate)
+    model_name = args.model_name or f"facenet_{args.backbone}"
+    ckpt_dir = os.path.join(args.working_path, "checkpoints", model_name)
     result = train_facenet(cfg, images, labels, epochs=args.epochs,
-                           image_size=args.image_size, seed=args.seed)
+                           image_size=args.image_size, seed=args.seed,
+                           loader=loader, mesh=mesh,
+                           checkpoint_dir=ckpt_dir, model_name=model_name,
+                           resume=args.resume, keep=args.keep_checkpoints)
     print(f"final loss {result.losses[-1]:.4f} — "
-          f"{result.images_per_sec:.0f} img/s")
+          f"{result.images_per_sec:.0f} img/s; saved {model_name}_final "
+          f"under {ckpt_dir} (evaluate: `face eval --checkpoint-dir "
+          f"{os.path.dirname(ckpt_dir)} --head {model_name} "
+          f"--backbone {args.backbone} --embed-dim {args.embed_dim} ...`)")
     return 0
 
 
@@ -625,6 +661,9 @@ def _add_export_parser(sub):
                    help="model checkpoint dir (the train run's "
                         "<working>/checkpoints/<name>)")
     p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--embed-dim", type=int, default=512,
+                   help="backbone embedding width (128 for `face facenet` "
+                        "artifacts)")
     p.add_argument("--output", required=True, metavar="FILE.frte")
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
     p.add_argument("--platforms", default=None,
@@ -656,7 +695,7 @@ def cmd_export(args) -> int:
     from face_recognition_models_tpu.models import get_backbone
     from face_recognition_models_tpu.serving import export_embedder
 
-    model = get_backbone(args.backbone)
+    model = get_backbone(args.backbone, embed_dim=args.embed_dim)
     dummy = np.zeros((1, args.image_size, args.image_size, 3), np.float32)
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(0)},
@@ -713,6 +752,9 @@ def _add_embed_parser(sub):
                    help="which checkpoint artifact to embed with "
                         "(same semantics as `face eval --which`)")
     p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--embed-dim", type=int, default=512,
+                   help="backbone embedding width (128 for `face facenet` "
+                        "artifacts)")
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
     p.add_argument("--batch-size", type=int, default=256)
     p.add_argument("--num-workers", type=int, default=8)
@@ -731,7 +773,7 @@ def cmd_embed(args) -> int:
         checkpoint_dir=args.checkpoint_dir, backbone=args.backbone,
         which=args.which, image_size=args.image_size,
         batch_size=args.batch_size, num_workers=args.num_workers,
-        bn_dtype=args.bn_dtype)
+        bn_dtype=args.bn_dtype, embed_dim=args.embed_dim)
 
 
 def _add_serve_parser(sub):
@@ -748,6 +790,9 @@ def _add_serve_parser(sub):
     p.add_argument("--which", default="final",
                    choices=["final", "final_ema", "min_loss", "best_acc"])
     p.add_argument("--backbone", default="resnet50")
+    p.add_argument("--embed-dim", type=int, default=512,
+                   help="backbone embedding width (128 for `face facenet` "
+                        "artifacts)")
     p.add_argument("--image-size", type=int, default=cfg_lib.IMAGE_SIZE)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
@@ -784,7 +829,7 @@ def cmd_serve(args) -> int:
         micro_batch=args.micro_batch, max_wait_ms=args.max_wait_ms,
         gallery=args.gallery, align=args.align,
         mtcnn_weights=args.mtcnn_weights, align_mode=args.align_mode,
-        bn_dtype=args.bn_dtype)
+        bn_dtype=args.bn_dtype, embed_dim=args.embed_dim)
 
 
 def _add_identify_parser(sub):

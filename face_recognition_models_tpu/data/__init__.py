@@ -8,7 +8,7 @@ from face_recognition_models_tpu.data.packed import (
     PackedLoader,
     pack_dataset,
 )
-from face_recognition_models_tpu.data.pipeline import Loader
+from face_recognition_models_tpu.data.pipeline import Loader, PKLoader
 from face_recognition_models_tpu.data.recordio import (
     RecLoader,
     RecordIODataset,
@@ -16,5 +16,5 @@ from face_recognition_models_tpu.data.recordio import (
 from face_recognition_models_tpu.data.sampler import PKBatchSampler
 
 __all__ = ["ImageFolderIndex", "load_pair_list", "pair_image_names",
-           "Loader", "PKBatchSampler", "PackedDataset", "PackedLoader",
-           "pack_dataset", "RecLoader", "RecordIODataset"]
+           "Loader", "PKLoader", "PKBatchSampler", "PackedDataset",
+           "PackedLoader", "pack_dataset", "RecLoader", "RecordIODataset"]

@@ -228,6 +228,39 @@ class Loader:
                     t.join(timeout=0.1)
 
 
+class PKLoader(Loader):
+    """PK-structured streaming loader for triplet training: every batch
+    holds P identities x K images (data/sampler.PKBatchSampler), decoded on
+    the hot path through the Loader backends (native C++ libjpeg / PIL)
+    with the same prefetch pipeline — `face facenet --dataset-path` trains
+    an identity tree without ever materializing it in host RAM (the
+    reference's FaceNet DataLoader+PKSampler pairing, FaceNet/main.py:48-77
+    and :133-139).
+
+    Corrupt images follow the Loader's static-shape resample policy; a
+    resampled slot may fall outside the batch's P identities, which the
+    miner tolerates (pairs without a valid positive/negative are masked
+    out, ops/mining.py)."""
+
+    def __init__(self, index: ImageFolderIndex, p: int, k: int,
+                 image_size: int = 112, seed: int = 0, num_workers: int = 8,
+                 prefetch: int = 2, backend: str = "auto"):
+        super().__init__(index, batch_size=p * k, image_size=image_size,
+                         shuffle=False, seed=seed, num_workers=num_workers,
+                         drop_remainder=True, prefetch=prefetch,
+                         backend=backend)
+        from face_recognition_models_tpu.data.sampler import PKBatchSampler
+        self._sampler = PKBatchSampler(self._labels, p, k, seed=seed)
+
+    def steps_per_epoch(self) -> int:
+        return len(self._sampler)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        # one flat index array the base epoch() slices back into the
+        # sampler's PK batches (batch_size == p*k)
+        return np.concatenate(list(self._sampler.epoch(epoch)))
+
+
 class ArrayLoader:
     """In-memory variant (synthetic data / tests): same epoch API over
     preloaded uint8 arrays."""

@@ -161,7 +161,8 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
                          which: str = "final",
                          protocol: str = "host",
                          fars: Sequence[float] = (),
-                         flip: bool = False) -> int:
+                         flip: bool = False,
+                         embed_dim: int = 512) -> int:
     """which: 'final' evaluates the end-of-training snapshot; 'min_loss'
     evaluates the best-by-train-loss checkpoint (the reference's
     evaluate_models.py loads <Name>_min_loss.pth)."""
@@ -194,7 +195,7 @@ def run_batch_evaluation(checkpoint_dir: str, eval_data_path: str,
         print(f"No model checkpoints found under {checkpoint_dir}")
         return 1
 
-    model = get_backbone(backbone)
+    model = get_backbone(backbone, embed_dim=embed_dim)
     dummy = np.zeros((1, image_size, image_size, 3), np.float32)
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(0)},

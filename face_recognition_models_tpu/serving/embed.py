@@ -110,7 +110,7 @@ def embed_directory(embed_fn: Callable, root: str, image_size: int,
 
 def load_embed_fn(model_path: Optional[str], checkpoint_dir: Optional[str],
                   backbone: str, which: str, image_size: int,
-                  bn_dtype: str = "bfloat16"):
+                  bn_dtype: str = "bfloat16", embed_dim: int = 512):
     """Resolve an embedding function from either a `face export` artifact
     or a training checkpoint dir (shared by `face embed` and `face serve`).
 
@@ -138,7 +138,8 @@ def load_embed_fn(model_path: Optional[str], checkpoint_dir: Optional[str],
     from face_recognition_models_tpu.models import get_backbone
     from face_recognition_models_tpu.train.step import make_eval_step
 
-    model = get_backbone(backbone, bn_dtype=jnp.dtype(bn_dtype))
+    model = get_backbone(backbone, embed_dim=embed_dim,
+                         bn_dtype=jnp.dtype(bn_dtype))
     dummy = np.zeros((1, image_size, image_size, 3), np.float32)
     variables = model.init({"params": jax.random.PRNGKey(0),
                             "dropout": jax.random.PRNGKey(0)},
@@ -157,11 +158,11 @@ def run_embed_cli(input_dir: str, output: str,
                   backbone: str = "resnet50", which: str = "final",
                   image_size: int = 112, batch_size: int = 256,
                   num_workers: int = 8,
-                  bn_dtype: str = "bfloat16") -> int:
+                  bn_dtype: str = "bfloat16", embed_dim: int = 512) -> int:
     try:
         embed_fn, image_size = load_embed_fn(
             model_path, checkpoint_dir, backbone, which, image_size,
-            bn_dtype)
+            bn_dtype, embed_dim=embed_dim)
     except ValueError as e:
         print(f"error: {e}")
         return 2

@@ -317,13 +317,13 @@ def run_serve_cli(model_path: Optional[str] = None,
                   align: bool = False,
                   mtcnn_weights: Optional[str] = None,
                   align_mode: str = "crop",
-                  bn_dtype: str = "bfloat16") -> int:
+                  bn_dtype: str = "bfloat16", embed_dim: int = 512) -> int:
     """Load the model the same way `face embed` does, then serve forever."""
     from face_recognition_models_tpu.serving.embed import load_embed_fn
     try:
         embed_fn, image_size = load_embed_fn(
             model_path, checkpoint_dir, backbone, which, image_size,
-            bn_dtype)
+            bn_dtype, embed_dim=embed_dim)
     except ValueError as e:
         print(f"error: {e}")
         return 2

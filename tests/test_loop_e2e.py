@@ -118,20 +118,39 @@ def test_fit_from_file_loader(tmp_path, dataset):
 
 @pytest.mark.slow
 def test_facenet_verification_end_to_end(tmp_path, dataset):
-    """FaceNet triplet training then pair verification beats chance."""
+    """FaceNet triplet training then pair verification beats chance — with
+    the full first-class artifact path: checkpoints rotate during training
+    and the final artifact round-trips through the SAME restore_backbone +
+    make_embed_fn machinery `face embed/eval/export` use."""
+    from face_recognition_models_tpu.checkpoint import restore_backbone
     from face_recognition_models_tpu.config import FaceNetConfig
+    from face_recognition_models_tpu.evaluation.batch_eval import (
+        make_embed_fn)
+    from face_recognition_models_tpu.evaluation.verification import (
+        embed_unique_images)
     from face_recognition_models_tpu.triplet import train_facenet
-    from face_recognition_models_tpu.ops.image_ops import normalize_images
 
     images, labels = dataset
     cfg = FaceNetConfig(backbone="resnet18", p=4, k=4, learning_rate=0.02)
+    ckpt = str(tmp_path / "checkpoints" / "facenet_resnet18")
     result = train_facenet(cfg, images, labels, epochs=8, image_size=IMG,
-                           verbose=False)
+                           verbose=False, checkpoint_dir=ckpt,
+                           model_name="facenet_resnet18")
 
-    emb = np.array(result.model.apply(
-        {"params": result.state.params,
-         "batch_stats": result.state.batch_stats},
-        normalize_images(images), train=False))
+    # per-epoch checkpoints rotated (keep=3) + best + final artifact
+    names = os.listdir(ckpt)
+    assert "facenet_resnet18_final" in names and "min_loss" in names
+    epochs_on_disk = sorted(n for n in names if n.startswith("epoch_"))
+    assert epochs_on_disk == ["epoch_6", "epoch_7", "epoch_8"]
+
+    # artifact round-trip through the standard production loading path
+    abstract = {"params": result.state.params,
+                "batch_stats": result.state.batch_stats}
+    restored = restore_backbone(ckpt, abstract, "final",
+                                model_name="facenet_resnet18")
+    embed = make_embed_fn(result.model, restored["params"],
+                          restored["batch_stats"])
+    emb = embed_unique_images(embed, images, batch_size=BS)
 
     rs = np.random.RandomState(0)
     pairs = []
@@ -146,6 +165,15 @@ def test_facenet_verification_end_to_end(tmp_path, dataset):
     sims = pair_cosine_similarities(emb, pairs)
     res = kfold_verification(sims, pairs[:, 2])
     assert res.mean_auc > 0.85, res
+
+    # --- resume: one more epoch continues from the latest checkpoint ---
+    result2 = train_facenet(cfg, images, labels, epochs=9, image_size=IMG,
+                            verbose=False, checkpoint_dir=ckpt,
+                            model_name="facenet_resnet18", resume=True)
+    assert result2.start_epoch == 9
+    assert "epoch_9" in os.listdir(ckpt)
+    steps_per_epoch = result2.losses and len(result2.losses)
+    assert int(result2.state.step) == int(result.state.step) + steps_per_epoch
 
 
 @pytest.mark.slow

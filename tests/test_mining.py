@@ -140,10 +140,88 @@ def test_facenet_training_loss_decreases():
     losses = np.asarray(result.losses)
     assert np.isfinite(losses).all()
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
-    # embeddings are unit-normalized
-    emb = result.model.apply(
+    # the trained model is the bare trunk (raw embeddings; every consumer
+    # — the step, batch_eval, serving — L2-normalizes downstream)
+    emb = np.asarray(result.model.apply(
         {"params": result.state.params,
          "batch_stats": result.state.batch_stats},
-        jnp.asarray(images[:8], jnp.float32) / 127.5 - 1.0, train=False)
-    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1),
-                               1.0, rtol=1e-5)
+        jnp.asarray(images[:8], jnp.float32) / 127.5 - 1.0, train=False))
+    assert emb.shape == (8, 128) and np.isfinite(emb).all()
+    assert (np.linalg.norm(emb, axis=1) > 0).all()
+
+
+def test_pk_loader_streams_identity_tree(tmp_path):
+    """PKLoader decodes PK-structured batches straight off an identity tree
+    (no whole-dataset materialization): every batch is exactly P identities
+    x K images and the labels match the on-disk tree."""
+    from face_recognition_models_tpu.data import ImageFolderIndex, PKLoader
+    from face_recognition_models_tpu.data.synthetic import (
+        synthetic_identities,
+        write_identity_tree,
+    )
+
+    images, labels = synthetic_identities(6, 5, image_size=24, seed=0)
+    write_identity_tree(str(tmp_path), images, labels, split="train")
+    index = ImageFolderIndex.build(str(tmp_path), split="train")
+    p, k = 3, 2
+    loader = PKLoader(index, p, k, image_size=24, seed=0, num_workers=2)
+
+    assert loader.steps_per_epoch() == 6 // p
+    seen = 0
+    for bimages, blabels in loader.epoch(0):
+        assert bimages.shape == (p * k, 24, 24, 3)
+        assert bimages.dtype == np.uint8
+        uniq, counts = np.unique(blabels, return_counts=True)
+        assert len(uniq) == p and (counts == k).all()
+        seen += 1
+    assert seen == loader.steps_per_epoch()
+
+    # epochs reshuffle deterministically: same epoch -> same batches
+    first = [b[1].tolist() for b in loader.epoch(1)]
+    again = [b[1].tolist() for b in loader.epoch(1)]
+    other = [b[1].tolist() for b in loader.epoch(2)]
+    assert first == again
+    assert first != other
+
+
+def test_sharded_triplet_step_matches_single_device():
+    """DP-sharding the triplet step must not change WHICH triplets get
+    mined: with the batch sharded over the mesh 'data' axis and embeddings
+    all-gathered before mining (triplet/train.py), the mined negative
+    indices are exactly the single-device ones and the loss agrees."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from face_recognition_models_tpu import config as cfg_lib
+    from face_recognition_models_tpu.parallel import make_mesh
+
+    if jax.device_count() < 4:
+        pytest.skip("needs the multi-device CPU mesh")
+    mesh = make_mesh(cfg_lib.MeshConfig(data=jax.device_count(), model=1))
+    emb, labels = _embeddings(11)
+    dist = pairwise_sq_distances(jnp.asarray(emb))
+    key = jax.random.PRNGKey(5)
+
+    mined_single = semi_hard_negatives(dist, jnp.asarray(labels), MARGIN,
+                                       key)
+    data_s = NamedSharding(mesh, P("data"))
+
+    @jax.jit
+    def sharded_mine(emb, labels):
+        d = pairwise_sq_distances(emb)
+        return semi_hard_negatives(d, labels, MARGIN, key)
+
+    mined_sharded = sharded_mine(jax.device_put(jnp.asarray(emb), data_s),
+                                 jax.device_put(jnp.asarray(labels), data_s))
+    np.testing.assert_array_equal(np.asarray(mined_single.valid),
+                                  np.asarray(mined_sharded.valid))
+    # negative indices only matter where the pair is valid
+    v = np.asarray(mined_single.valid)
+    np.testing.assert_array_equal(np.asarray(mined_single.negatives)[v],
+                                  np.asarray(mined_sharded.negatives)[v])
+
+    l1 = semi_hard_triplet_loss(jnp.asarray(emb), jnp.asarray(labels),
+                                MARGIN, key)
+    l2 = jax.jit(semi_hard_triplet_loss)(
+        jax.device_put(jnp.asarray(emb), data_s),
+        jax.device_put(jnp.asarray(labels), data_s), MARGIN, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
