@@ -93,6 +93,16 @@ def run_head(head_name, args):
             if np.issubdtype(a.dtype, np.integer) or a.dtype == np.bool_:
                 np.testing.assert_array_equal(
                     a, b, err_msg=f"{head_name} step {k}: integer state")
+            elif a.size == 1:
+                # cosine of two same-sign scalars is exactly 1.0 whatever
+                # their magnitudes — scalar EMAs (QAFace muy/std,
+                # CurricularFace t) need a real relative bound
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-2, atol=1e-6,
+                    err_msg=f"{head_name} step {k}: scalar head-state")
+                denom = max(abs(float(a)), abs(float(b)), 1e-6)
+                max_state_rel = max(max_state_rel,
+                                    abs(float(a) - float(b)) / denom)
             elif a.size:
                 # bf16 backbone reassociation differs per compiled program
                 # on hardware, so feature-derived state (memory rows)

@@ -1,5 +1,5 @@
 """Fused-path trajectory certification: the production TPU head path (the
-fused Pallas margin+CE kernel, auto-dispatched for 12 of 13 heads at
+fused Pallas margin+CE kernel, auto-dispatched for 12 of the 14 registered heads at
 production C) must evolve training EXACTLY like the jnp reference path —
 not just one step's loss/grads (test_fused_head.py) but the N-step
 composition: head-state feedback (EMA buffers, memory lifecycles,
