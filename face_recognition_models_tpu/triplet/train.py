@@ -195,12 +195,16 @@ def train_facenet(cfg: FaceNetConfig, images: Optional[np.ndarray] = None,
     total = 0
     t0 = time.time()
     for epoch in range(start_epoch, epochs + 1):
-        epoch_losses = []
+        device_losses = []
         for batch_images, batch_labels in loader.epoch(epoch - 1):
             state, metrics = step(state, batch_images,
                                   np.asarray(batch_labels, np.int32))
-            epoch_losses.append(float(metrics["loss"]))
+            # keep the scalar ON DEVICE: a float() here would sync every
+            # step and serialize dispatch (tunnel RTT dominates, PERF.md);
+            # fetch once per epoch instead
+            device_losses.append(metrics["loss"])
             total += len(batch_labels)
+        epoch_losses = [float(l) for l in device_losses]
         losses.extend(epoch_losses)
         epoch_loss = float(np.mean(epoch_losses)) if epoch_losses else np.inf
         if verbose:
