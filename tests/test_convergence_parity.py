@@ -418,9 +418,10 @@ def test_qaface_short_run_reference_measurement():
     free-running QAFace sits on the s=64 memory-cosine cliff where a 2e-3
     perturbation swings the loss 20-65% (test_trajectory_parity docstring;
     that is why its per-step parity is re-synchronized). Measured band
-    (PERF.md round 5, seeds 0-2): jax 77.8/96.1/..., torch 89.4/90.6/...
-    — gaps up to ~12 points with SIGN FLIPS between seeds (chaos, not
-    bias; per-step math is certified exact by the resync test). Assertion:
+    (PERF.md round 5, seeds 0-2): jax 77.8/96.1/77.4, torch 89.4/90.6/74.1
+    — band means 83.8 vs 84.7, but per-seed gaps up to ~12 points with
+    SIGN FLIPS between seeds (chaos, not bias; per-step math is certified
+    exact by the resync test). Assertion:
     both stacks clear a 70% floor (the warm backbone learned through the
     head) and land within the measured 12.5-point chaos band of each
     other. Seed 1 is pinned (measured diff 5.5)."""
