@@ -230,10 +230,12 @@ def test_partial_fc_on_8_device_dp_mesh():
                                rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_logq_correction_debiases_sampled_ce():
     """Monte-Carlo over sample draws: the logQ-corrected sampled
     logsumexp estimates the DENSE logsumexp; the uncorrected one is
-    biased low. (Pure math check on fixed logits, no model.)"""
+    biased low. (Pure math check on fixed logits, no model; 23 s of
+    Monte-Carlo — slow-marked round 5.)"""
     rs = np.random.RandomState(0)
     C, n, C_s = 2048, 16, 256
     logits = rs.randn(C).astype(np.float64) * 2.0
