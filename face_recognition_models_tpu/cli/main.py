@@ -619,12 +619,21 @@ def cmd_facenet(args) -> int:
             print("error: --dataset-path required (or --synthetic)",
                   file=sys.stderr)
             return 2
-        from face_recognition_models_tpu.data import (
-            ImageFolderIndex, PKLoader)
-        index = ImageFolderIndex.build(args.dataset_path)
-        loader = PKLoader(index, args.p, args.k,
-                          image_size=args.image_size, seed=args.seed,
-                          num_workers=args.num_workers)
+        from face_recognition_models_tpu.data.recordio import is_recordio
+        if is_recordio(args.dataset_path):
+            from face_recognition_models_tpu.data import (
+                PKRecLoader, RecordIODataset)
+            rec = RecordIODataset.open(args.dataset_path)
+            loader = PKRecLoader(rec, args.p, args.k,
+                                 image_size=args.image_size, seed=args.seed,
+                                 num_workers=args.num_workers)
+        else:
+            from face_recognition_models_tpu.data import (
+                ImageFolderIndex, PKLoader)
+            index = ImageFolderIndex.build(args.dataset_path)
+            loader = PKLoader(index, args.p, args.k,
+                              image_size=args.image_size, seed=args.seed,
+                              num_workers=args.num_workers)
 
     mesh = None
     if args.use_mesh:

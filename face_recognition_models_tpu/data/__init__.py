@@ -10,6 +10,7 @@ from face_recognition_models_tpu.data.packed import (
 )
 from face_recognition_models_tpu.data.pipeline import Loader, PKLoader
 from face_recognition_models_tpu.data.recordio import (
+    PKRecLoader,
     RecLoader,
     RecordIODataset,
 )
@@ -17,4 +18,5 @@ from face_recognition_models_tpu.data.sampler import PKBatchSampler
 
 __all__ = ["ImageFolderIndex", "load_pair_list", "pair_image_names",
            "Loader", "PKLoader", "PKBatchSampler", "PackedDataset",
-           "PackedLoader", "pack_dataset", "RecLoader", "RecordIODataset"]
+           "PackedLoader", "pack_dataset", "PKRecLoader", "RecLoader",
+           "RecordIODataset"]

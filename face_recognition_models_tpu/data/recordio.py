@@ -527,3 +527,29 @@ class RecLoader:
                     q.get_nowait()
                 except queue.Empty:
                     t.join(timeout=0.1)
+
+
+class PKRecLoader(RecLoader):
+    """PK-structured streaming loader over a RecordIO set for triplet
+    training: every batch holds P identities x K images decoded straight
+    off the .rec mmap — the RecordIO twin of `data.pipeline.PKLoader`, so
+    `face facenet --dataset-path train.rec` trains insightface-format sets
+    without materializing them in host RAM."""
+
+    def __init__(self, dataset: RecordIODataset, p: int, k: int,
+                 image_size: int = 112, seed: int = 0, num_workers: int = 8,
+                 prefetch: int = 2, backend: str = "auto"):
+        super().__init__(dataset, batch_size=p * k, image_size=image_size,
+                         shuffle=False, seed=seed, num_workers=num_workers,
+                         drop_remainder=True, prefetch=prefetch,
+                         backend=backend)
+        from face_recognition_models_tpu.data.sampler import PKBatchSampler
+        self._sampler = PKBatchSampler(dataset.labels, p, k, seed=seed)
+
+    def steps_per_epoch(self) -> int:
+        return len(self._sampler)
+
+    def _epoch_order(self, epoch: int) -> np.ndarray:
+        # one flat index array the base epoch() slices back into the
+        # sampler's PK batches (batch_size == p*k)
+        return np.concatenate(list(self._sampler.epoch(epoch)))

@@ -346,3 +346,32 @@ def test_decode_batch_mem_guards():
     imgs, status = decode_batch_mem(blob, np.asarray([0, 10]),
                                     np.asarray([0, 50]), 8)
     assert (status != 0).all()
+
+
+def test_pk_rec_loader_streams_pk_batches(tmp_path):
+    """PKRecLoader (the triplet path's RecordIO source): every batch is
+    exactly P identities x K images decoded off the .rec mmap, with the
+    PKBatchSampler's deterministic per-epoch reshuffle."""
+    from face_recognition_models_tpu.data.recordio import PKRecLoader
+
+    prefix, images, labels = _synthetic_rec(tmp_path, n_ident=6,
+                                            per_ident=4, size=24)
+    ds = RecordIODataset.open(prefix)
+    p, k = 3, 2
+    loader = PKRecLoader(ds, p, k, image_size=24, seed=0, num_workers=2)
+
+    assert loader.steps_per_epoch() == 6 // p
+    seen = 0
+    for bimages, blabels in loader.epoch(0):
+        assert bimages.shape == (p * k, 24, 24, 3)
+        uniq, counts = np.unique(blabels, return_counts=True)
+        assert len(uniq) == p and (counts == k).all()
+        # flat-gray construction: decoded pixel level identifies the label
+        lv = bimages[:, 0, 0, 0].astype(np.int32)
+        np.testing.assert_allclose(lv, 20 + 10 * blabels, atol=3)
+        seen += 1
+    assert seen == loader.steps_per_epoch()
+
+    first = [b[1].tolist() for b in loader.epoch(1)]
+    again = [b[1].tolist() for b in loader.epoch(1)]
+    assert first == again
