@@ -291,7 +291,15 @@ def _mem_row_params(cfg, kernel, xn, wn, feats, labels, tcos_raw, norms,
             minput = feats
         minput = minput.astype(jnp.float32)
         mag = feature_norms(minput)                          # [N, 1]
-        mag_mean, mag_std = jnp.mean(mag), jnp.std(mag, ddof=1)
+        mag_mean = jnp.mean(mag)
+        # torch .std() semantics (ddof=1) with margins.py's finite
+        # subgradient at zero variance (sqrt'(0)=inf would NaN the
+        # backward when every magnitude in the batch is equal — which
+        # free-running training DOES reach; the plain jnp.std here NaN'd
+        # the fused path at step 11 of the interpret trajectory, round 5)
+        var = jnp.var(mag, ddof=1)
+        mag_std = jnp.where(var > 0,
+                            jnp.sqrt(jnp.where(var > 0, var, 1.0)), 0.0)
         first = state.muy == 0.0
         new_muy = jnp.where(first, mag_mean,
                             cfg.alpha * state.muy
@@ -378,5 +386,10 @@ def fused_apply(cfg, kernel, feats, labels, state, rng=None, minput=None,
     loss_id = jnp.mean(out.lse - out.target_logit)
     acc1 = 100.0 * jnp.mean((out.higher < 1).astype(jnp.float32))
     acc5 = 100.0 * jnp.mean((out.higher < 5).astype(jnp.float32))
+    if cfg.name == "magface":
+        # the reference (and margins.py) return the CLAMPED norm as
+        # `norms` for magface (criterion.py:1290) — the feat_norm metric
+        # must match the jnp path exactly
+        norms = jnp.clip(norms, cfg.l_a, cfg.u_a)
     return FusedApplyOut(loss_id=loss_id, loss_g=rp.loss_g, acc1=acc1,
                          acc5=acc5, norms=norms, state=rp.new_state)

@@ -150,16 +150,35 @@ def _qaface_torch(ref, kernel):
     return _SelfMinput()
 
 
+def _elastic_torch(ref, kernel):
+    head = ref.crit.ElasticArcFace(D, C, s=64.0, m=0.5, std=0.0125,
+                                   plus=False)
+    head.kernel.data = torch.from_numpy(np.asarray(kernel).copy())
+    return head
+
+
+def _vpl_torch(ref, kernel):
+    head = ref.crit.VPLArcFace(D, C, s=64.0, m=0.5, easy_margin=False,
+                               lamda=0.15, delta=100)
+    head.weight.data = torch.from_numpy(np.asarray(kernel).T.copy())
+    return head
+
+
 # head -> (torch head factory, per-head recipe). `warm` heads first train
 # a torch arcface stage on the same data (the reference's pretrained-init
 # practice, backbones.py:12-26) and BOTH stacks then fine-tune from that
-# identical backbone at the stage-2 lr.
+# identical backbone at the stage-2 lr. elastic_arcface samples its
+# per-sample margins from each framework's OWN rng (no shared stream
+# exists across torch/jax), so its parity is DISTRIBUTION-level over
+# seeds, not per-seed point equality (PERF.md table).
 HEAD_SPECS = {
     "arcface": dict(make_torch=_arcface_torch, lr=LR, warm=False),
     "curricularface": dict(make_torch=_curricular_torch, lr=0.02,
                            warm=True),
     "adaface": dict(make_torch=_adaface_torch, lr=LR, warm=False),
     "qaface": dict(make_torch=_qaface_torch, lr=0.02, warm=True),
+    "elastic_arcface": dict(make_torch=_elastic_torch, lr=0.02, warm=True),
+    "vpl_arcface": dict(make_torch=_vpl_torch, lr=LR, warm=False),
 }
 
 
